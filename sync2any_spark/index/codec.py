@@ -1,0 +1,83 @@
+"""Posting-block codec: delta-gap + variable-byte, numpy-vectorized.
+
+The reference's search target stores postings as Lucene FOR/vByte blocks
+(SURVEY.md §2.B B4). We implement the classic varbyte: little-endian base-128,
+MSB set = continuation. Doc ids are stored as gaps (first absolute, then
+``d[i]-d[i-1]``), term frequencies as raw values. Both encode and decode are
+vectorized numpy (no per-int Python in the hot path); int64-safe so doc ids
+beyond 2^32 (the 10^12-turn posture) round-trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative int64 values."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes per value = number of 7-bit groups (≤10 shift iterations for u64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbytes[nz] += 1
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # byte position within each value (0 = least significant)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    shifted = np.asarray(np.repeat(v, nbytes) >> (pos * 7).astype(np.uint64), dtype=np.uint64)
+    out[:] = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    is_last = np.zeros(total, dtype=bool)
+    is_last[ends - 1] = True
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte buffer back to an int64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    # group id per byte: index of the value this byte belongs to
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last)[:-1]
+    n_vals = int(is_last.sum())
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts[group]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (pos * 7).astype(np.uint64)
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, group, contrib)
+    return out.astype(np.int64)
+
+
+def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
+    """Delta-gap + varbyte encode a strictly-increasing doc-id array."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return b""
+    gaps = np.empty_like(d)
+    gaps[0] = d[0]
+    gaps[1:] = np.diff(d)
+    return vb_encode(gaps)
+
+
+def decode_doc_ids(buf: bytes) -> np.ndarray:
+    gaps = vb_decode(buf)
+    return np.cumsum(gaps)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return vb_encode(np.asarray(tfs, dtype=np.int64))
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return vb_decode(buf)

@@ -1,0 +1,47 @@
+"""SparkSession factory with the engine's standard configuration.
+
+The reference pins no Spark config (it is a Spring Boot app); the settings
+here encode the engine's scale posture:
+
+- AQE on (runtime coalesce + skew-join mitigation),
+- Arrow on (every UDF in this engine is a pandas/Arrow UDF),
+- UTC session timezone (the reference hard-codes a +8h timestamp shift,
+  ``model/mysql/TableRecords.java:304-308`` — we pin UTC instead and test it),
+- shuffle partitions sized to the local core count; on a real cluster this
+  is ``--conf spark.sql.shuffle.partitions=<2-3x total cores>``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sync2any_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
