@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines — Spark-first.
+
+All hashing is md5-based so every operator has a bit-identical DuckDB
+oracle (md5 is the one hash both engines share); everything below stays in
+whole-stage codegen — no Python in any plan.
+
+Scale notes (the point of each design):
+- exact: one groupBy on a 32-hex key — map-side combined, no skew beyond
+  genuine duplicate mass.
+- MinHash/LSH: signatures are h independent min-aggregates over the shingle
+  explode (one shuffle); banding turns near-dup search from O(n²) into a
+  self-join on band keys (shuffle join on short keys). Band-key groups are
+  the classic skew point — a boilerplate-heavy corpus needs a band-size cap
+  (``max_band_size``) which we enforce before the pair join.
+- n-gram Jaccard: exact verification for candidate pairs (or small corpora)
+  via shingle self-join + count algebra.
+- SimHash: 32-bit signature from per-term md5 bits, weighted by tf — one
+  explode + one groupBy with 32 conditional sums, all codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..query.algebra import SPARK_TOKEN_RE
+
+
+def _tokens(text_col: str):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(SPARK_TOKEN_RE), 0)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams (space-joined token windows)."""
+    toks = _tokens(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> array_join(slice(__toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array())
+    return (
+        df.withColumn("__toks", toks)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: groups with >1 member.
+    Returns (text_hash, n_dups, keep_id) — keep the smallest id (the
+    deterministic survivor)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, h: int = 12
+) -> DataFrame:
+    """(id, h0..h{h-1}) — MinHash over word shingles; hash j of a shingle is
+    md5('j:' || shingle) and the signature component is the lexicographic
+    min (strings order exactly like the underlying 128-bit value)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(h)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    h: int = 12,
+    bands: int = 4,
+    max_band_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing ≥1 LSH band (rows = h/bands).
+
+    ``max_band_size`` drops degenerate band keys (boilerplate text) before
+    the self-join — the skew guard that keeps the join from exploding on
+    near-constant content at corpus scale.
+    """
+    rows = h // bands
+    band_cols = []
+    for b_i in range(bands):
+        cols = [F.col(f"h{j}") for j in range(b_i * rows, (b_i + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b_i).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sizes = exploded.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    bounded = exploded.join(
+        sizes.where(F.col("sz") <= max_band_size), ["band", "key"]
+    )
+    a = bounded.select(F.col("band"), F.col("key"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("band"), F.col("key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact n-gram Jaccard ≥ threshold via shingle
+    self-join (use after LSH at scale; exact for small corpora)."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(id, simhash) — tf-weighted sign aggregation of per-term md5 bits."""
+    toks = _tokens(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hv = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    tf = tf.withColumn("hv", hv)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(1) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = tf.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,111 @@
+"""Pipeline operators — SURVEY.md §2.A parity, Spark-first.
+
+The reference implements these row-at-a-time in Java; here each is the
+idiomatic declarative composition, so Catalyst gets pushdown/pruning/
+broadcast decisions for free (SURVEY.md §4.3). Each function cites the
+reference behavior it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordering_guard(transcripts: DataFrame) -> DataFrame:
+    """A5 dedup/ordering guard (``extract/KafkaMsgListener.java:220-232``).
+
+    The reference requires per-shard sequence numbers to be +1-contiguous;
+    our batch analog asserts ``turn_idx`` is exactly 0..n-1 per conversation.
+    Returns the violating conversations (empty = invariant holds): gap or
+    duplicate ⇒ row_number()-1 != turn_idx somewhere in the conv.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.withColumn("expected", F.row_number().over(w) - 1)
+        .where(F.col("turn_idx") != F.col("expected"))
+        .select("conv_id")
+        .distinct()
+    )
+
+
+def doc_key(transcripts: DataFrame) -> DataFrame:
+    """A12 composite-PK → doc id: PK columns sorted by name, joined with
+    '_' (``transform/RecordsTransform.java:110-125``, ``README.md:150``).
+    For transcripts the sorted PK is (conv_id, turn_idx)."""
+    return transcripts.withColumn(
+        "pk_value", F.concat_ws("_", F.col("conv_id"), F.col("turn_idx"))
+    )
+
+
+def project_and_rename(
+    df: DataFrame,
+    field_filter: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+) -> DataFrame:
+    """A10 field-filter + A11 rename map (``conf/RuleConfigParser.java:
+    328-388``): keep only listed columns; rename per map; unmapped column
+    names are lowercased (the reference's default)."""
+    cols = field_filter or df.columns
+    rename = rename or {}
+    return df.select(
+        *[F.col(c).alias(rename.get(c, c.lower())) for c in cols]
+    )
+
+
+def route(
+    df: DataFrame,
+    static_route: str | None = None,
+    sharding_col: str | None = None,
+    n_shards: int = 8,
+    prefix: str = "transcripts",
+) -> DataFrame:
+    """A14 row routing / dynamic sink partitioning (``conf/RuleConfigParser.
+    java:298-327``, ``load/DynamicDataAssign.java``): static rule name, or
+    table name + suffix derived from a sharding column. The suffix strategy
+    here is the hash analog of the reference's router lookup."""
+    if static_route:
+        expr = F.lit(static_route)
+    elif sharding_col:
+        expr = F.concat_ws(
+            "_", F.lit(prefix), F.pmod(F.xxhash64(sharding_col), F.lit(n_shards))
+        )
+    else:
+        expr = F.lit(prefix)
+    return df.withColumn("route", expr)
+
+
+def lookup_join(df: DataFrame, router: DataFrame, on: str) -> DataFrame:
+    """A15 the reference's only join — cached suffix lookup
+    (``load/impl/MysqlDynamicDataAssignImpl.java:24-59``) — as an explicit
+    broadcast hash join (the Guava cache's distributed equivalent)."""
+    return df.join(F.broadcast(router), on, "left")
+
+
+def event_fold(
+    events: DataFrame, key_cols: list[str], version_col: str
+) -> DataFrame:
+    """A19 append-only collapse (CollapsingMergeTree emulation,
+    ``load/impl/CkLoadServiceImpl.java:110-130``): latest state per key =
+    window row_number over version desc. Ties broken by the key for
+    determinism."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def typed_cast(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """A9 scalar casts with null→0 default for numerics, mirroring the
+    ClickHouse coercion (``load/impl/CkLoadServiceImpl.java:228-276``)."""
+    out = df
+    for col, typ in casts.items():
+        c = F.col(col).cast(typ)
+        if typ in ("long", "double", "int", "float"):
+            c = F.coalesce(c, F.lit(0).cast(typ))
+        out = out.withColumn(col, c)
+    return out

@@ -1,0 +1,426 @@
+"""Top-k retrieval over the compressed index — block-max WAND + distributed path.
+
+Two physical strategies for the same logical operator (B6), mirroring how
+ES picks between query phases:
+
+- ``IndexSearcher.search`` — low-latency path. The query's term list is tiny,
+  so ``bucket IN (…) AND term IN (…)`` prunes postings partitions and pushes
+  predicates into the parquet scan; the surviving blocks (only the query
+  terms' postings) come to the driver where numpy block-max WAND prunes
+  blocks by upper bound and exact-scores survivors. This is the path a
+  search tier would serve QPS from.
+- ``search_distributed`` — scale path for huge candidate sets: the same
+  pruned scan feeds ``mapInPandas`` (vectorized per-block exact scoring →
+  (doc_id, contrib) partials) → ``groupBy(doc_id).sum`` →
+  ``ORDER BY score DESC LIMIT k`` (TakeOrderedAndProject — no global sort).
+
+Both return exactly the same ranking as the BM25 oracle: exact Lucene
+formula, float64, ties by doc_id ascending.
+
+A term's postings may be split across several salted sub-streams (builder
+B3). Each doc lives in exactly one sub-stream, so WAND treats every
+(term, salt) stream as an independent cursor carrying the term's idf — the
+disjoint union scores identically to one merged list.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..index.codec import decode_doc_ids, decode_tfs
+from ..tokenize import tokenize
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+@dataclass
+class _Cursor:
+    """One (term, salt) posting stream: doc-ordered blocks, decoded lazily.
+
+    Block upper bounds are recomputed from the stored (max_tf, min_dl) with
+    the LIVE avgdl — tf/(tf+k1·norm) is increasing in tf and decreasing in
+    dl, so the pair bounds every posting in the block even after increments
+    shift avgdl away from its build-time value.
+    """
+
+    weight: float  # idf of the term
+    blocks: list  # sorted by min_doc: (min_doc, max_doc, ids, tfs, dls, max_tf, min_dl)
+    max_ub: float  # weight * max block bound — WAND global upper bound
+    avgdl: float = 1.0
+    b_idx: int = 0
+    off: int = 0
+    _ids: np.ndarray | None = field(default=None, repr=False)
+    _tfs: np.ndarray | None = field(default=None, repr=False)
+    _dls: np.ndarray | None = field(default=None, repr=False)
+
+    def _load(self) -> None:
+        blk = self.blocks[self.b_idx]
+        self._ids = decode_doc_ids(blk[2])
+        self._tfs = decode_tfs(blk[3])
+        self._dls = decode_tfs(blk[4])
+
+    @property
+    def exhausted(self) -> bool:
+        return self.b_idx >= len(self.blocks)
+
+    @property
+    def doc(self) -> int:
+        if self._ids is None:
+            self._load()
+        return int(self._ids[self.off])
+
+    def block_ub(self) -> float:
+        blk = self.blocks[self.b_idx]
+        mt, mdl = float(blk[5]), float(blk[6])
+        return self.weight * mt / (mt + K1 * (1.0 - B + B * mdl / self.avgdl))
+
+    def block_max_doc(self) -> int:
+        return self.blocks[self.b_idx][1]
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first posting with doc >= target (block-skipping)."""
+        while not self.exhausted and self.blocks[self.b_idx][1] < target:
+            self.b_idx += 1
+            self.off = 0
+            self._ids = None
+        if self.exhausted:
+            return
+        if self._ids is None:
+            self._load()
+        # in-block binary search from the current offset
+        pos = int(np.searchsorted(self._ids[self.off :], target, side="left"))
+        self.off += pos
+        if self.off >= len(self._ids):  # target falls in a gap past this block
+            self.b_idx += 1
+            self.off = 0
+            self._ids = None
+            self.next_geq(target)
+
+    def advance(self) -> None:
+        self.off += 1
+        if self._ids is not None and self.off >= len(self._ids):
+            self.b_idx += 1
+            self.off = 0
+            self._ids = None
+
+    def score_current(self, avgdl: float) -> float:
+        tf = float(self._tfs[self.off])
+        dl = float(self._dls[self.off])
+        return self.weight * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _bmw_topk(
+    cursors: list[_Cursor],
+    k: int,
+    avgdl: float,
+    deleted: "set[int] | None" = None,
+) -> list[tuple[int, float]]:
+    """Block-max WAND over disjoint posting streams → [(doc_id, score)].
+
+    Docs are fully scored in ascending doc order; the heap replaces only on
+    strictly-greater score, so ties resolve to the lowest doc_id — the same
+    deterministic tie-break the oracle pins (SURVEY.md §7.3). Tombstoned
+    docs (``deleted``) are advanced past without scoring — the Lucene
+    live-docs analog for pre-compaction queries.
+    """
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc) — size ≤ k
+    theta = 0.0
+
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        live.sort(key=lambda c: c.doc)
+        # find pivot: smallest prefix whose summed global UBs reach theta
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(live):
+            acc += c.max_ub
+            if acc > theta or (len(heap) < k and acc > 0.0):
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # no prefix can beat theta — done
+        pivot_doc = live[pivot_i].doc
+
+        if live[0].doc == pivot_doc:
+            # block-max check: refine with per-block bounds at pivot_doc
+            block_acc = 0.0
+            for c in live:
+                if c.doc > pivot_doc:
+                    break
+                block_acc += c.block_ub()
+            if len(heap) >= k and block_acc <= theta:
+                # Skip (Ding & Suel GetNewCandidate): jump the pivot-group
+                # cursors past the minimal current-block boundary, clamped
+                # by the next non-group cursor's doc — docs in between can
+                # only be matched by the group's current blocks, whose
+                # summed bounds just failed the theta test.
+                adv = [c for c in live if c.doc <= pivot_doc]
+                rest = [c for c in live if c.doc > pivot_doc]
+                target = min(c.block_max_doc() for c in adv) + 1
+                if rest:
+                    target = min(target, min(c.doc for c in rest))
+                if target <= pivot_doc:
+                    target = pivot_doc + 1
+                for c in adv:
+                    c.next_geq(target)
+            elif deleted and pivot_doc in deleted:
+                for c in live:
+                    if not c.exhausted and c.doc == pivot_doc:
+                        c.advance()
+            else:
+                score = 0.0
+                for c in live:
+                    if not c.exhausted and c.doc == pivot_doc:
+                        score += c.score_current(avgdl)
+                for c in live:
+                    if not c.exhausted and c.doc == pivot_doc:
+                        c.advance()
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                    theta = heap[0][0]
+            live = [c for c in live if not c.exhausted]
+        else:
+            # advance all cursors before the pivot up to pivot_doc
+            for c in live[:pivot_i]:
+                c.next_geq(pivot_doc)
+            live = [c for c in live if not c.exhausted]
+
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+class IndexSearcher:
+    """Query-side handle on an index directory built by index.builder.
+
+    ``search`` issues exactly ONE Spark action per query: the bucket list is
+    computed driver-side (md5 bucketing, no job), term df is derived from
+    the collected blocks themselves (Σ n_docs per term — exact, because a
+    doc appears in exactly one block of one salted stream), and N/avgdl come
+    from meta.json at init. With ``cache=True`` the postings relation is
+    pinned in executor memory — the "warm index" a serving tier would hold.
+    """
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str, cache: bool = False
+    ) -> None:
+        import json
+
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_buckets = int(self.meta["n_buckets"])
+        # live corpus stats from the stats table (meta.json mirrors the
+        # build-time values; increments rewrite the stats table)
+        st = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+        self.n_docs = int(st.n_docs)
+        self.avgdl = float(st.avgdl)
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._block_cols = [
+            "term", "salt", "block_id", "min_doc", "max_doc",
+            "doc_ids", "tfs", "dls", "max_tf", "min_dl", "n_docs",
+        ]
+        if cache:
+            self._postings = self._postings.select(*self._block_cols, "bucket").cache()
+            self._postings.count()  # materialize
+        self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self._docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        # tombstones (Lucene live-docs analog); empty on a fresh snapshot.
+        # At 10^12 scale this becomes a per-segment bitset / broadcast var —
+        # here a driver set, loaded once.
+        deletes_dir = os.path.join(index_dir, "deletes")
+        self.deleted: set[int] = set()
+        if os.path.isdir(deletes_dir) and any(
+            n.endswith(".parquet") for n in os.listdir(deletes_dir)
+        ):
+            self.deleted = {
+                r.doc_id for r in spark.read.parquet(deletes_dir).collect()
+            }
+
+    # -- helpers ---------------------------------------------------------
+    def _qterms(self, query: str) -> list[str]:
+        return list(dict.fromkeys(tokenize(query)))
+
+    def _pruned_blocks(self, qterms: list[str]) -> DataFrame:
+        from ..index.bucketing import bucket_of
+
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in qterms})
+        return self._postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
+        )
+
+    # -- low-latency path -------------------------------------------------
+    def search(
+        self, query: str, k: int = 10, engine: str = "vectorized"
+    ) -> list[tuple[int, float]]:
+        """Driver-side top-k → [(doc_id, score)] rank-ordered.
+
+        ``engine="vectorized"`` (default): decode every pruned block and
+        score with numpy — optimal when the blocks were collected anyway
+        (the Python-loop cost of WAND exceeds its decode savings here).
+        ``engine="bmw"``: block-max WAND with block skipping — the algorithm
+        a serving tier runs when block metadata lets it avoid *fetching*
+        blocks. Both return identical rankings (tested).
+        """
+        qterms = self._qterms(query)
+        if not qterms:
+            return []
+        pdf = self._pruned_blocks(qterms).select(*self._block_cols).toPandas()
+        if pdf.empty:
+            return []
+        dfs = self._live_dfs(pdf)
+        if engine == "vectorized":
+            return self._vectorized_topk(pdf, dfs, k)
+        cursors: list[_Cursor] = []
+        for (term, _salt), g in pdf.groupby(["term", "salt"], sort=True):
+            if dfs.get(term, 0) <= 0:
+                continue  # every posting of the term is tombstoned
+            g = g.sort_values("min_doc")
+            w = idf(self.n_docs, dfs[term])
+            blocks = [
+                (r.min_doc, r.max_doc, r.doc_ids, r.tfs, r.dls, r.max_tf, r.min_dl)
+                for r in g.itertuples(index=False)
+            ]
+            cur = _Cursor(weight=w, blocks=blocks, max_ub=0.0, avgdl=self.avgdl)
+            cur.max_ub = max(
+                cur.weight
+                * float(b[5])
+                / (float(b[5]) + K1 * (1.0 - B + B * float(b[6]) / self.avgdl))
+                for b in blocks
+            )
+            cursors.append(cur)
+        return _bmw_topk(cursors, k, self.avgdl, deleted=self.deleted or None)
+
+    def _vectorized_topk(
+        self, pdf, dfs: dict[str, int], k: int
+    ) -> list[tuple[int, float]]:
+        """Exhaustive numpy scoring of the collected blocks (exact BM25)."""
+        ids_all, contrib_all = [], []
+        for term, g in pdf.groupby("term", sort=True):
+            if dfs.get(term, 0) <= 0:
+                continue
+            w = idf(self.n_docs, dfs[term])
+            ids = np.concatenate([decode_doc_ids(b) for b in g["doc_ids"]])
+            tfs = np.concatenate([decode_tfs(b) for b in g["tfs"]]).astype(np.float64)
+            dls = np.concatenate([decode_tfs(b) for b in g["dls"]]).astype(np.float64)
+            ids_all.append(ids)
+            contrib_all.append(
+                w * tfs / (tfs + K1 * (1.0 - B + B * dls / self.avgdl))
+            )
+        if not ids_all:
+            return []
+        ids = np.concatenate(ids_all)
+        contrib = np.concatenate(contrib_all)
+        if self.deleted:
+            dead = np.fromiter(self.deleted, dtype=np.int64)
+            alive = ~np.isin(ids, dead)
+            ids, contrib = ids[alive], contrib[alive]
+            if ids.size == 0:
+                return []
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(len(uniq))
+        # deterministic summation: within a doc, contributions accumulate in
+        # term-sorted order (groupby sort=True) — same order the oracle uses
+        np.add.at(scores, inv, contrib)
+        if k < len(uniq):
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            cand = np.flatnonzero(scores >= kth)  # boundary ties included
+        else:
+            cand = np.arange(len(uniq))
+        order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    def _live_dfs(self, pdf) -> dict[str, int]:
+        """Exact live df per term: Σ n_docs over blocks on a fresh snapshot
+        (no tombstones); from the maintained terms table once increments
+        have been applied (it tracks live df exactly)."""
+        if not self.deleted:
+            return {t: int(v) for t, v in pdf.groupby("term")["n_docs"].sum().items()}
+        terms = [str(t) for t in pdf["term"].unique()]
+        rows = self._terms.where(F.col("term").isin(terms)).collect()
+        return {r.term: int(r.df) for r in rows}
+
+    # -- distributed path --------------------------------------------------
+    def search_distributed(self, query: str, k: int = 10) -> DataFrame:
+        """Cluster-side scoring: pruned scan → vectorized partial scores →
+        groupBy(doc_id).sum → TakeOrderedAndProject(k)."""
+        qterms = self._qterms(query)
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not qterms:
+            return empty
+        pruned = self._pruned_blocks(qterms)
+        if self.deleted:
+            rows = self._terms.where(F.col("term").isin(qterms)).collect()
+            dfs = {r.term: int(r.df) for r in rows}
+        else:
+            dfs = {
+                r.term: int(r.df)
+                for r in pruned.groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .collect()
+            }
+        qterms = [t for t in qterms if dfs.get(t, 0) > 0]
+        if not qterms:
+            return empty
+        n_docs, avgdl = self.n_docs, self.avgdl
+        weights = {t: idf(n_docs, dfs[t]) for t in qterms}
+        dead = np.array(sorted(self.deleted), dtype=np.int64)
+
+        def score_blocks(batches):
+            for pdf in batches:
+                outs_d, outs_s = [], []
+                for r in pdf.itertuples(index=False):
+                    ids = decode_doc_ids(r.doc_ids)
+                    tfs = decode_tfs(r.tfs).astype(np.float64)
+                    dls = decode_tfs(r.dls).astype(np.float64)
+                    if dead.size:
+                        alive = ~np.isin(ids, dead, assume_unique=False)
+                        ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
+                    if ids.size == 0:
+                        continue
+                    w = weights[r.term]
+                    outs_d.append(ids)
+                    outs_s.append(w * tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl)))
+                if outs_d:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(outs_d),
+                            "contrib": np.concatenate(outs_s),
+                        }
+                    )
+
+        partials = self._pruned_blocks(qterms).mapInPandas(
+            score_blocks, schema="doc_id long, contrib double"
+        )
+        scored = partials.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def fetch(self, hits: list[tuple[int, float]]) -> DataFrame:
+        """Resolve winners to their source rows (B8 doc-store get)."""
+        if not hits:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, conv_id string, turn_idx int"
+            )
+        hit_df = self.spark.createDataFrame(
+            [h for h in hits if h[0] not in self.deleted],
+            "doc_id long, score double",
+        )
+        return self._docs.join(F.broadcast(hit_df), "doc_id").select(
+            "doc_id", "score", "conv_id", "turn_idx", "role", "text"
+        )

@@ -1,0 +1,103 @@
+"""M1 end-to-end slice: DataFrame-algebra BM25 vs the numpy oracle
+(SURVEY.md §7.1 M1, §5.2(2)) — rank-identical docIDs AND scores."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sync2any_spark.generator import ensure_queries
+from sync2any_spark.oracle import BM25Oracle
+from sync2any_spark.query import algebra
+from sync2any_spark.tokenize import tokenize
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, transcripts_sf0001):
+    df = transcripts_sf0001
+    pdf = (
+        df.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    oracle = BM25Oracle(list(enumerate(pdf["text"])))
+    key_of = {
+        i: (r.conv_id, r.turn_idx) for i, r in enumerate(pdf.itertuples(index=False))
+    }
+    return df, oracle, key_of
+
+
+def test_jvm_tokenizer_matches_python(spark, transcripts_sf0001):
+    """The JVM regexp path and the canonical Python tokenizer must agree
+    token-for-token on the full corpus (this is what lets the algebra path
+    cross-check the pandas-UDF fast path)."""
+    rows = (
+        transcripts_sf0001.select(
+            "conv_id",
+            "turn_idx",
+            "text",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(algebra.SPARK_TOKEN_RE), 0
+            ).alias("jvm_toks"),
+        )
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r.jvm_toks == tokenize(r.text), (r.conv_id, r.turn_idx, r.text)
+
+
+def test_doc_lengths_and_stats(corpus):
+    df, oracle, _ = corpus
+    dl = algebra.doc_lengths(df, ["conv_id", "turn_idx"])
+    n, avg = dl.agg(F.count("*"), F.avg("dl")).first()
+    assert n == oracle.n_docs
+    assert abs(avg - oracle.avgdl) < 1e-9
+
+
+def test_term_stats_match_oracle(corpus):
+    df, oracle, _ = corpus
+    stats = {
+        r.term: (r.df, r.cf)
+        for r in algebra.term_stats(df, ["conv_id", "turn_idx"]).collect()
+    }
+    assert len(stats) == len(oracle.postings)
+    for term, plist in oracle.postings.items():
+        assert stats[term] == (len(plist), sum(plist.values())), term
+
+
+QUERY_CASES = ["ok", "w0000", "hot3", "w0001 w0002", "中 文", "zzzzmissing", ""]
+
+
+@pytest.mark.parametrize("query", QUERY_CASES)
+def test_topk_rank_identical(corpus, query):
+    df, oracle, key_of = corpus
+    k = 10
+    got = [
+        ((r.conv_id, r.turn_idx), r.score)
+        for r in algebra.bm25_topk(df, query, k, ["conv_id", "turn_idx"]).collect()
+    ]
+    want = [(key_of[d], s) for d, s in oracle.topk(query, k)]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_full_query_set(corpus):
+    """All 50 reference queries (F2) rank-identical at k."""
+    import pyarrow.parquet as pq
+
+    df, oracle, key_of = corpus
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    for q in queries.itertuples(index=False):
+        got = [
+            ((r.conv_id, r.turn_idx), r.score)
+            for r in algebra.bm25_topk(
+                df, q.query_text, int(q.k), ["conv_id", "turn_idx"]
+            ).collect()
+        ]
+        want = [(key_of[d], s) for d, s in oracle.topk(q.query_text, int(q.k))]
+        assert [g[0] for g in got] == [w[0] for w in want], q.query_text
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)

@@ -1,0 +1,138 @@
+"""Incremental upserts + idempotence + compaction (SURVEY.md §7.1 M5,
+FIXTURES.md F4): ES upsert-by-_id semantics, exactly reproduced."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sync2any_spark.index.builder import build_index
+from sync2any_spark.oracle import BM25Oracle
+from sync2any_spark.query.wand import IndexSearcher
+from sync2any_spark.streaming.incremental import apply_increments, compact, live_docs
+
+PARAMS = dict(n_partitions=12, n_buckets=8, n_salts=4, heavy_df_threshold=500)
+
+QUERIES = ["ok", "w0000", "hot1", "w0001 w0002", "中 文", "freshterm", "zzzzmissing"]
+
+
+@pytest.fixture(scope="module")
+def base(spark, transcripts_sf0001, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_inc"))
+    build_index(spark, transcripts_sf0001, d, resume=False, **PARAMS)
+    return d
+
+
+@pytest.fixture(scope="module")
+def increments(spark, transcripts_sf0001):
+    """Deterministic batch: ~3% updates, ~1% deletes, a few inserts."""
+    t = transcripts_sf0001
+    h = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(100))
+    updates = (
+        t.where(h < 3)
+        .withColumn("text", F.concat(F.lit("freshterm updated "), F.col("text")))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = t.where((h >= 3) & (h < 4)).withColumn("op", F.lit("D"))
+    ts = datetime.datetime(2026, 6, 1)
+    inserts = spark.createDataFrame(
+        [
+            ("conv_zz000001", 0, "user", "freshterm brand new conversation ok", "", ts, "I"),
+            ("conv_zz000001", 1, "assistant", "freshterm reply 中文", "", ts, "I"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, op string",
+    )
+    return updates.unionByName(deletes).unionByName(inserts)
+
+
+@pytest.fixture(scope="module")
+def applied(spark, base, increments):
+    summary = apply_increments(spark, base, increments)
+    assert summary["new_docs"] > 0 and summary["tombstones"] > 0
+    return summary
+
+
+def _merged_oracle(spark, base):
+    pdf = (
+        live_docs(spark, base)
+        .orderBy("doc_id")
+        .select("doc_id", "conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    return BM25Oracle(list(zip(pdf["doc_id"], pdf["text"])))
+
+
+def test_live_view_matches_merge(spark, base, transcripts_sf0001, increments, applied):
+    live = live_docs(spark, base).select("conv_id", "turn_idx", "text")
+    # expected: source minus deleted keys, updates overwritten, inserts added
+    inc = increments.select("conv_id", "turn_idx", "text", "op")
+    expected = (
+        transcripts_sf0001.join(inc, ["conv_id", "turn_idx"], "left_anti")
+        .select("conv_id", "turn_idx", "text")
+        .unionByName(inc.where(F.col("op") != "D").select("conv_id", "turn_idx", "text"))
+    )
+    assert live.count() == expected.count()
+    assert (
+        live.join(expected, ["conv_id", "turn_idx", "text"], "left_anti").count() == 0
+    )
+
+
+def test_search_rank_identical_after_increment(spark, base, applied):
+    oracle = _merged_oracle(spark, base)
+    searcher = IndexSearcher(spark, base)
+    assert searcher.deleted  # tombstones active
+    for q in QUERIES:
+        got = searcher.search(q, 10)
+        want = oracle.topk(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+
+
+def test_distributed_after_increment(spark, base, applied):
+    oracle = _merged_oracle(spark, base)
+    searcher = IndexSearcher(spark, base)
+    for q in ["freshterm", "ok w0000"]:
+        got = [(r.doc_id, r.score) for r in searcher.search_distributed(q, 10).collect()]
+        want = oracle.topk(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+
+
+def test_idempotent_reapply(spark, base, increments, applied):
+    """FIXTURES F4: re-applying the same batch must be a complete no-op."""
+    def state():
+        terms = sorted(
+            (r.term, r.df, r.cf)
+            for r in spark.read.parquet(f"{base}/terms").collect()
+        )
+        n_docs = spark.read.parquet(f"{base}/docs").count()
+        n_dead = spark.read.parquet(f"{base}/deletes").count()
+        return terms, n_docs, n_dead
+
+    before = state()
+    summary = apply_increments(spark, base, increments)
+    assert summary["tombstones"] == 0 and summary["new_docs"] == 0
+    assert state() == before
+
+
+def test_compact_equals_fresh_build(spark, base, applied, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_compacted"))
+    compact(spark, base, out)
+    oracle = _merged_oracle(spark, base)  # doc ids re-densified — compare ranks via keys
+    live = live_docs(spark, base).select("doc_id", "conv_id", "turn_idx").toPandas()
+    key_of = {r.doc_id: (r.conv_id, r.turn_idx) for r in live.itertuples(index=False)}
+
+    searcher = IndexSearcher(spark, out)
+    assert not searcher.deleted  # tombstones purged
+    docs_out = spark.read.parquet(f"{out}/docs").toPandas()
+    key_of_new = {
+        r.doc_id: (r.conv_id, r.turn_idx) for r in docs_out.itertuples(index=False)
+    }
+    for q in QUERIES:
+        got = [(key_of_new[d], s) for d, s in searcher.search(q, 10)]
+        want = [(key_of[d], s) for d, s in oracle.topk(q, 10)]
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q

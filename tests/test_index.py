@@ -1,0 +1,198 @@
+"""Index build + WAND retrieval vs oracle (SURVEY.md §7.1 M2-M4;
+FIXTURES.md invariants 1-5, 7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from sync2any_spark import B, K1
+from sync2any_spark.generator import ensure_queries
+from sync2any_spark.index.builder import build_index
+from sync2any_spark.index.codec import decode_doc_ids, decode_tfs
+from sync2any_spark.oracle import BM25Oracle
+from sync2any_spark.query.wand import IndexSearcher
+
+HEAVY_DF = 500  # low threshold so the 'ok' term (df ≈ 890) exercises salting
+N_SALTS = 4
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, transcripts_sf0001, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_sf0001"))
+    summary = build_index(
+        spark,
+        transcripts_sf0001,
+        d,
+        n_partitions=16,
+        n_buckets=8,
+        n_salts=N_SALTS,
+        heavy_df_threshold=HEAVY_DF,
+    )
+    assert summary["n_docs"] == transcripts_sf0001.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(transcripts_sf0001):
+    pdf = (
+        transcripts_sf0001.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    o = BM25Oracle(list(enumerate(pdf["text"])))
+    key_of = {
+        i: (r.conv_id, r.turn_idx) for i, r in enumerate(pdf.itertuples(index=False))
+    }
+    return o, key_of
+
+
+def test_doc_ids_dense_and_ordered(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    n = docs.count()
+    assert docs.agg(F.min("doc_id"), F.max("doc_id")).first() == (0, n - 1)
+    assert docs.select("doc_id").distinct().count() == n
+    # doc_id order == (conv_id, turn_idx) order
+    rows = docs.orderBy("doc_id").select("conv_id", "turn_idx").collect()
+    assert rows == sorted(rows, key=lambda r: (r.conv_id, r.turn_idx))
+
+
+def test_per_turn_text_equality(spark, index_dir, transcripts_sf0001):
+    """North-rule row invariant: docs store text == source text under stable
+    (conv_id, turn_idx) ordering."""
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    joined = transcripts_sf0001.alias("s").join(
+        docs.alias("d"), ["conv_id", "turn_idx"], "full"
+    )
+    n_mismatch = joined.where(
+        ~(F.col("s.text") == F.col("d.text"))
+        | F.col("s.text").isNull()
+        | F.col("d.text").isNull()
+    ).count()
+    assert n_mismatch == 0
+    assert docs.count() == transcripts_sf0001.count()
+
+
+def test_dl_matches_oracle(spark, index_dir, oracle):
+    o, _ = oracle
+    dls = {
+        r.doc_id: r.dl
+        for r in spark.read.parquet(f"{index_dir}/docs").select("doc_id", "dl").collect()
+    }
+    assert dls == o.dl
+    st = spark.read.parquet(f"{index_dir}/stats").first()
+    assert st.n_docs == o.n_docs
+    assert st.avgdl == pytest.approx(o.avgdl, rel=1e-12)
+
+
+def test_term_stats_match_oracle(spark, index_dir, oracle):
+    """FIXTURES invariant 2: df == distinct docs, cf == Σtf per term."""
+    o, _ = oracle
+    terms = {
+        r.term: (r.df, r.cf)
+        for r in spark.read.parquet(f"{index_dir}/terms").collect()
+    }
+    assert len(terms) == len(o.postings)
+    for term, plist in o.postings.items():
+        assert terms[term] == (len(plist), sum(plist.values())), term
+
+
+def test_postings_decode_match_oracle(spark, index_dir, oracle):
+    """Decoded, merged posting blocks reproduce the oracle's postings exactly,
+    and block ranges are disjoint (what makes salted streams WAND-safe)."""
+    o, _ = oracle
+    pdf = spark.read.parquet(f"{index_dir}/postings").toPandas()
+    seen_terms = set()
+    for term, g in pdf.groupby("term"):
+        ids_all, tf_all = [], []
+        for salt, gs in g.groupby("salt"):
+            spans = []
+            for r in gs.itertuples(index=False):
+                ids = decode_doc_ids(r.doc_ids)
+                tfs = decode_tfs(r.tfs)
+                assert len(ids) == r.n_docs and ids[0] == r.min_doc and ids[-1] == r.max_doc
+                assert (np.diff(ids) > 0).all()
+                spans.append((r.min_doc, r.max_doc))
+                ids_all.append(ids)
+                tf_all.append(tfs)
+            # within a (term, salt) stream blocks are doc-ordered and disjoint
+            spans.sort()
+            for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+                assert a1 < b0, f"overlapping blocks for {term} salt={salt}"
+        ids_cat = np.concatenate(ids_all)
+        tf_cat = np.concatenate(tf_all)
+        # a doc lives in exactly one salted stream — never duplicated
+        assert len(ids_cat) == len(np.unique(ids_cat)), term
+        order = np.argsort(ids_cat)
+        got = dict(zip(ids_cat[order].tolist(), tf_cat[order].tolist()))
+        assert got == o.postings[term], term
+        seen_terms.add(term)
+    assert seen_terms == set(o.postings)
+
+
+def test_block_max_is_upper_bound(spark, index_dir, oracle):
+    """FIXTURES invariant 5: stored bound ≥ every realized block contribution."""
+    o, _ = oracle
+    pdf = spark.read.parquet(f"{index_dir}/postings").toPandas()
+    for r in pdf.itertuples(index=False):
+        tfs = decode_tfs(r.tfs).astype(float)
+        dls = decode_tfs(r.dls).astype(float)
+        contrib = tfs / (tfs + K1 * (1 - B + B * dls / o.avgdl))
+        assert r.block_max_score >= contrib.max() - 1e-12
+        assert r.block_max_score == pytest.approx(contrib.max(), rel=1e-12)
+
+
+def test_salting_applied_and_balanced(spark, index_dir):
+    """FIXTURES invariant 7: heavy terms split into salted sub-streams and
+    no merge group dominates (max/median group size < 3x among heavy groups)."""
+    pdf = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .groupBy("term", "salt")
+        .agg(F.sum("n_docs").alias("n"))
+        .toPandas()
+    )
+    hot = pdf[pdf.term == "ok"]
+    assert len(hot) == N_SALTS
+    sizes = hot["n"].to_numpy()
+    assert sizes.max() / np.median(sizes) < 3.0
+    # light terms must not be salted
+    light = pdf[pdf.term == "w4999"]
+    assert (light["salt"] == 0).all()
+
+
+@pytest.mark.parametrize("engine", ["vectorized", "bmw"])
+def test_topk_matches_oracle_full_query_set(spark, index_dir, oracle, engine):
+    """FIXTURES invariant 3: rank-identical top-k (ids AND scores) for all
+    50 reference queries — both the vectorized path and block-max WAND."""
+    o, key_of = oracle
+    searcher = IndexSearcher(spark, index_dir)
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    for q in queries.itertuples(index=False):
+        got = searcher.search(q.query_text, int(q.k), engine=engine)
+        want = o.topk(q.query_text, int(q.k))
+        assert [g[0] for g in got] == [w[0] for w in want], q.query_text
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q.query_text
+
+
+def test_distributed_matches_oracle(spark, index_dir, oracle):
+    o, _ = oracle
+    searcher = IndexSearcher(spark, index_dir)
+    for qtext, k in [("ok", 10), ("w0001 w0002", 10), ("中 文", 5), ("zzzzmissing", 10)]:
+        got = [(r.doc_id, r.score) for r in searcher.search_distributed(qtext, k).collect()]
+        want = o.topk(qtext, k)
+        assert [g[0] for g in got] == [w[0] for w in want], qtext
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_fetch_resolves_source_rows(spark, index_dir, oracle):
+    o, key_of = oracle
+    searcher = IndexSearcher(spark, index_dir)
+    hits = searcher.search("w0000", 5)
+    fetched = {r.doc_id: (r.conv_id, r.turn_idx) for r in searcher.fetch(hits).collect()}
+    assert len(fetched) == 5
+    for d, _ in hits:
+        assert fetched[d] == key_of[d]

@@ -1,0 +1,166 @@
+"""Training-data pipeline operators: dedup, similarity, multimodal, textstats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_exact_duplicates_detects_planted(spark):
+    from sync2any_spark.pipeline.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    rows = exact_duplicates(df, "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0].n_dups == 3 and rows[0].keep_id == 1
+
+
+def test_minhash_finds_near_duplicates(spark):
+    from sync2any_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # 1-word change
+    far = "completely different words with nothing shared at all here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sig = minhash_signatures(df, "doc_id", h=12)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    from sync2any_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    a = "w1 w2 w3 w4"  # shingles: {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"  # shingles: {w1 w2 w3, w2 w3 w5} → jaccard 1/3
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = ngram_jaccard_pairs(df, "doc_id", threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_simhash_similar_docs_close(spark):
+    from sync2any_spark.pipeline.dedup import simhash
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base.replace("tok3 ", "tokX ")
+    far = " ".join(f"other{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sig = {r.doc_id: r.simhash for r in simhash(df, "doc_id").collect()}
+    d12 = bin(sig[1] ^ sig[2]).count("1")
+    d13 = bin(sig[1] ^ sig[3]).count("1")
+    assert d12 < d13
+    assert d12 <= 6  # near-dup → small Hamming distance
+
+
+def test_ann_recall_vs_brute_force(embeddings):
+    from sync2any_spark.pipeline.similarity import cosine_topk, rp_lsh_topk
+
+    emb = embeddings
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(rest, "vec_id", "embedding", qv, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in rp_lsh_topk(
+            rest, "vec_id", "embedding", qv, dim=64, k=10,
+            n_planes=6, multiprobe=2,
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_ann_probes_fewer_rows(embeddings):
+    from sync2any_spark.pipeline.similarity import rp_lsh_buckets
+
+    buckets = rp_lsh_buckets(embeddings, "vec_id", "embedding", dim=64, n_planes=6)
+    sizes = buckets.groupBy("bucket").count().collect()
+    # hashing actually partitions the space (not one giant bucket)
+    assert len(sizes) > 8
+    assert max(r["count"] for r in sizes) < embeddings.count() / 2
+
+
+def test_multimodal_decode_schema_and_determinism(documents, spark):
+    from sync2any_spark.pipeline.multimodal import attach_blob, decode_images
+
+    blobs = attach_blob(documents.limit(50), "doc_id")
+    out = decode_images(blobs).toPandas().sort_values("doc_id")
+    assert list(out.columns) == [
+        "doc_id", "width", "height", "channels", "n_bytes", "features",
+    ]
+    assert len(out) == 50
+    assert (out["channels"] == 3).all()
+    assert all(len(f) == 8 for f in out["features"])
+    out2 = decode_images(blobs).toPandas().sort_values("doc_id")
+    assert (out["width"].values == out2["width"].values).all()
+
+
+def test_multimodal_real_decode_is_stubbed(documents):
+    from sync2any_spark.pipeline.multimodal import attach_blob, decode_images
+
+    blobs = attach_blob(documents.limit(5), "doc_id")
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_images(blobs, fake=False).collect()
+
+
+def test_frame_sampling(documents):
+    from sync2any_spark.pipeline.multimodal import attach_blob, sample_frames
+
+    blobs = attach_blob(documents.limit(10), "doc_id")
+    frames = sample_frames(blobs, every_n_bytes=64).toPandas()
+    meta = blobs.select("doc_id", F.octet_length("blob").alias("n")).toPandas()
+    expected = int(np.ceil(meta["n"] / 64).sum())
+    assert len(frames) == expected
+    assert (frames.groupby("doc_id")["frame_idx"].min() == 0).all()
+
+
+def test_langid_on_planted_texts(spark):
+    from sync2any_spark.pipeline.textstats import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "el perro y la casa de los gatos"),
+            (3, "der hund und die katze ist nicht da"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id(df, "doc_id").collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_winnowing_fingerprints_overlap(spark):
+    from sync2any_spark.pipeline.textstats import fingerprints
+
+    base = " ".join(f"w{i}" for i in range(40))
+    shifted = "zzz " + base  # winnowing is robust to prefix shifts
+    other = " ".join(f"q{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)], "doc_id long, text string"
+    )
+    fps = fingerprints(df, "doc_id").toPandas()
+    s1 = set(fps[fps.doc_id == 1].fp)
+    s2 = set(fps[fps.doc_id == 2].fp)
+    s3 = set(fps[fps.doc_id == 3].fp)
+    assert len(s1 & s2) / len(s1 | s2) > 0.6
+    assert not (s1 & s3)

@@ -1,0 +1,86 @@
+"""Resume-from-checkpoint (FIXTURES.md invariant 6): a build killed after K
+of N partition manifests, then re-run, equals a single-run build."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sync2any_spark.index.builder import (
+    build_chunks,
+    build_docs,
+    build_index,
+    completed_partitions,
+)
+
+PARAMS = dict(n_partitions=12, n_buckets=8, n_salts=4, heavy_df_threshold=500)
+
+
+def _fingerprint(spark, index_dir):
+    terms = sorted(
+        (r.term, r.df, r.cf, r.bucket)
+        for r in spark.read.parquet(f"{index_dir}/terms").collect()
+    )
+    postings = sorted(
+        (r.term, r.salt, r.block_id, r.min_doc, r.max_doc, r.n_docs,
+         bytes(r.doc_ids), bytes(r.tfs), bytes(r.dls))
+        for r in spark.read.parquet(f"{index_dir}/postings").collect()
+    )
+    docs = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx, r.dl)
+        for r in spark.read.parquet(f"{index_dir}/docs").collect()
+    )
+    return terms, postings, docs
+
+
+def test_resume_equals_single_run(spark, transcripts_sf0001, tmp_path_factory):
+    single = str(tmp_path_factory.mktemp("idx_single"))
+    build_index(spark, transcripts_sf0001, single, resume=False, **PARAMS)
+
+    # simulate a crash: only partitions 0..4 of the SPIMI stage completed
+    resumed = str(tmp_path_factory.mktemp("idx_resumed"))
+    docs = build_docs(transcripts_sf0001)
+    partial = docs.where(
+        F.pmod(F.xxhash64("conv_id"), F.lit(PARAMS["n_partitions"])) < 5
+    )
+    build_chunks(partial, f"{resumed}/chunks", PARAMS["n_partitions"]).count()
+    done = completed_partitions(f"{resumed}/chunks")
+    assert 0 < len(done) < PARAMS["n_partitions"]  # genuinely partial
+
+    # re-run the full build with resume=True — must only build the rest
+    summary = build_index(spark, transcripts_sf0001, resumed, resume=True, **PARAMS)
+    assert summary["partitions_built"] == PARAMS["n_partitions"] - len(done)
+
+    assert _fingerprint(spark, resumed) == _fingerprint(spark, single)
+
+
+def test_jvm_and_python_kernels_build_identical_index(
+    spark, transcripts_sf0001, tmp_path_factory
+):
+    """The JVM-tokenized SPIMI path (production) and the pandas-UDF
+    Python-tokenizer path must produce byte-identical indexes."""
+    a = str(tmp_path_factory.mktemp("idx_jvm"))
+    b = str(tmp_path_factory.mktemp("idx_py"))
+    build_index(spark, transcripts_sf0001, a, resume=False, tokenizer="jvm", **PARAMS)
+    build_index(
+        spark, transcripts_sf0001, b, resume=False, tokenizer="python", **PARAMS
+    )
+    assert _fingerprint(spark, a) == _fingerprint(spark, b)
+
+
+def test_doc_ids_stable_across_rebuilds(spark, transcripts_sf0001, tmp_path_factory):
+    """Doc ids are a pure function of the data (SURVEY.md §7.3) — two
+    independent builds assign identical ids."""
+    a = str(tmp_path_factory.mktemp("idx_a"))
+    b = str(tmp_path_factory.mktemp("idx_b"))
+    build_index(spark, transcripts_sf0001, a, resume=False, **PARAMS)
+    build_index(spark, transcripts_sf0001, b, resume=False, **PARAMS)
+    da = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(f"{a}/docs").collect()
+    )
+    db = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(f"{b}/docs").collect()
+    )
+    assert da == db
