@@ -43,9 +43,13 @@ def _vocab() -> list[str]:
     return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
 
 
-def generate_transcripts(sf: str) -> "pa.Table":
-    """Build the corpus for a scale factor tag ('sf0.001'|'sf0.01'|'sf0.1')."""
-    n_convs = N_CONVS[sf]
+def generate_transcripts(sf: str, mult: int = 1) -> "pa.Table":
+    """Build the corpus for a scale factor tag ('sf0.001'|'sf0.01'|'sf0.1').
+
+    ``mult`` scales the conversation count (bench corpora: the same seeded
+    generator, more conversations — used so throughput measurements are
+    compute-bound rather than job-latency-bound)."""
+    n_convs = N_CONVS[sf] * mult
     rng = np.random.default_rng(SEED)
     vocab = np.array(_vocab())
 
@@ -150,8 +154,9 @@ def generate_queries() -> "pa.Table":
     )
 
 
-def transcripts_path(sf: str) -> str:
-    return os.path.join(DATA_ROOT, "transcripts", sf, "transcripts.parquet")
+def transcripts_path(sf: str, mult: int = 1) -> str:
+    tag = sf if mult == 1 else f"{sf}x{mult}"
+    return os.path.join(DATA_ROOT, "transcripts", tag, "transcripts.parquet")
 
 
 def queries_path() -> str:
@@ -164,13 +169,13 @@ def sf_tag(sf_dir: str) -> str:
     return tag if tag in N_CONVS else "sf0.01"
 
 
-def ensure_transcripts(sf: str) -> str:
+def ensure_transcripts(sf: str, mult: int = 1) -> str:
     """Generate-if-missing; returns the parquet path (idempotent, seeded)."""
-    path = transcripts_path(sf)
+    path = transcripts_path(sf, mult)
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        pq.write_table(generate_transcripts(sf), tmp, compression="zstd")
+        pq.write_table(generate_transcripts(sf, mult), tmp, compression="zstd")
         os.replace(tmp, path)
     return path
 

@@ -336,29 +336,27 @@ def _chunk_builder_tf(chunks_dir: str, prefix: str = ""):
             )
             starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
+        bounds = np.append(starts, n)
+
+        # all-segments-at-once encoding (one vectorized pass per column)
+        from .codec import encode_doc_id_segments, vb_encode_segments
+
+        enc_ids = encode_doc_id_segments(ids, bounds)
+        enc_tfs = vb_encode_segments(tfs, bounds)
+        enc_dls = vb_encode_segments(dls, bounds)
+        seg_cf = np.add.reduceat(tfs, starts) if n else np.array([], dtype=np.int64)
 
         rows = {
-            "term": [],
-            "part_id": [],
-            "min_doc": [],
-            "max_doc": [],
-            "n_docs": [],
-            "cf": [],
-            "doc_ids": [],
-            "tfs": [],
-            "dls": [],
+            "term": terms_arr[starts],
+            "part_id": np.full(len(starts), part_id, dtype=np.int32),
+            "min_doc": ids[starts],
+            "max_doc": ids[ends - 1],
+            "n_docs": (ends - starts).astype(np.int32),
+            "cf": seg_cf.astype(np.int64),
+            "doc_ids": enc_ids,
+            "tfs": enc_tfs,
+            "dls": enc_dls,
         }
-        for s, e in zip(starts, ends):
-            d = ids[s:e]
-            rows["term"].append(terms_arr[s])
-            rows["part_id"].append(part_id)
-            rows["min_doc"].append(int(d[0]))
-            rows["max_doc"].append(int(d[-1]))
-            rows["n_docs"].append(int(e - s))
-            rows["cf"].append(int(tfs[s:e].sum()))
-            rows["doc_ids"].append(encode_doc_ids(d))
-            rows["tfs"].append(encode_tfs(tfs[s:e]))
-            rows["dls"].append(encode_tfs(dls[s:e]))
 
         os.makedirs(chunks_dir, exist_ok=True)
         path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
@@ -466,66 +464,81 @@ def build_term_stats(
 
 
 def _reblocker(avgdl: float):
-    """applyInPandas kernel over one (bucket, salt) group: for every term in
-    the group, merge its chunks into doc-ordered 128-posting blocks with
-    exact block-max score bounds. Grouping by bucket (not term) keeps the
-    number of Arrow groups ≈ n_buckets × n_salts instead of |vocabulary|."""
+    """applyInPandas kernel over one (bucket, sub, salt) group: merge every
+    term's chunks into doc-ordered 128-posting blocks with exact block-max
+    bounds. Fully vectorized across the whole group: chunks are decoded with
+    ONE varbyte pass (segmented cumsum restores absolute doc ids), per-term
+    doc order comes from one lexsort, and every block of every term is
+    encoded with ONE segmented varbyte pass per column."""
 
-    from .codec import decode_doc_ids, decode_tfs
+    from .codec import encode_doc_id_segments, vb_decode, vb_encode_segments
 
     def reblock(key, pdf):
         bucket, salt = int(key[0]), int(key[-1])
-        out = {
-            "term": [],
-            "bucket": [],
-            "salt": [],
-            "block_id": [],
-            "min_doc": [],
-            "max_doc": [],
-            "n_docs": [],
-            "doc_ids": [],
-            "tfs": [],
-            "dls": [],
-            "block_max_score": [],
-            "max_tf": [],
-            "min_dl": [],
+        empty = {
+            "term": [], "bucket": [], "salt": [], "block_id": [],
+            "min_doc": [], "max_doc": [], "n_docs": [],
+            "doc_ids": [], "tfs": [], "dls": [],
+            "block_max_score": [], "max_tf": [], "min_dl": [],
         }
-        for term, g in pdf.groupby("term", sort=True):
-            ids_parts, tfs_parts, dls_parts = [], [], []
-            for r in g.itertuples(index=False):
-                ids_parts.append(decode_doc_ids(r.doc_ids))
-                tfs_parts.append(decode_tfs(r.tfs))
-                dls_parts.append(decode_tfs(r.dls))
-            ids = np.concatenate(ids_parts)
-            tfs = np.concatenate(tfs_parts)
-            dls = np.concatenate(dls_parts)
-            order = np.argsort(ids, kind="stable")  # chunk ranges interleave
-            ids, tfs, dls = ids[order], tfs[order], dls[order]
+        if len(pdf) == 0:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values(["term", "min_doc"], kind="stable")
+        n_per_chunk = pdf["n_docs"].to_numpy(dtype=np.int64)
+        chunk_bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
+        chunk_bounds[1:] = np.cumsum(n_per_chunk)
+        n = int(chunk_bounds[-1])
 
-            # exact per-posting score bound (without idf — idf is a
-            # query-time per-term constant): tf/(tf + k1*(1-b+b*dl/avgdl))
-            contrib = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        # batched decode: gaps of all chunks in one pass, then segmented
+        # cumsum (each chunk's first gap is its absolute doc id)
+        gaps = vb_decode(b"".join(pdf["doc_ids"]))
+        total = np.cumsum(gaps)
+        corrections = np.zeros(len(pdf), dtype=np.int64)
+        corrections[1:] = total[chunk_bounds[1:-1] - 1]
+        ids = total - np.repeat(corrections, n_per_chunk)
+        tfs = vb_decode(b"".join(pdf["tfs"]))
+        dls = vb_decode(b"".join(pdf["dls"]))
 
-            n = len(ids)
-            for b_id, start in enumerate(range(0, n, BLOCK_SIZE)):
-                sl = slice(start, min(start + BLOCK_SIZE, n))
-                out["term"].append(term)
-                out["bucket"].append(bucket)
-                out["salt"].append(salt)
-                out["block_id"].append(b_id)
-                out["min_doc"].append(int(ids[sl][0]))
-                out["max_doc"].append(int(ids[sl][-1]))
-                out["n_docs"].append(int(sl.stop - sl.start))
-                out["doc_ids"].append(encode_doc_ids(ids[sl]))
-                out["tfs"].append(encode_tfs(tfs[sl]))
-                out["dls"].append(encode_tfs(dls[sl]))
-                # exact bound at build-time avgdl (diagnostics/tests) plus the
-                # avgdl-drift-safe pieces the query path uses: the bound
-                # recomputed from (max_tf, min_dl) with the LIVE avgdl is a
-                # valid upper bound even after increments shift avgdl
-                out["block_max_score"].append(float(contrib[sl].max()))
-                out["max_tf"].append(int(tfs[sl].max()))
-                out["min_dl"].append(int(dls[sl].min()))
+        # per-term doc order (chunk doc-ranges interleave across partitions)
+        terms = pdf["term"].to_numpy()
+        tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
+        term_gid = np.repeat(np.cumsum(tchange) - 1, n_per_chunk)
+        order = np.lexsort((ids, term_gid))
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+
+        # value-index bounds per term, then per-128 block bounds per term
+        term_first_chunk = np.flatnonzero(tchange)
+        term_bounds = chunk_bounds[np.append(term_first_chunk, len(pdf))]
+        term_names = terms[term_first_chunk]
+        starts_list = [
+            np.arange(term_bounds[i], term_bounds[i + 1], BLOCK_SIZE)
+            for i in range(len(term_names))
+        ]
+        blk_starts = np.concatenate(starts_list)
+        bounds = np.append(blk_starts, n)
+        blk_ends = bounds[1:]
+        blocks_per_term = np.array([len(s) for s in starts_list])
+
+        contrib = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        out = {
+            "term": np.repeat(term_names, blocks_per_term),
+            "bucket": np.full(len(blk_starts), bucket, dtype=np.int32),
+            "salt": np.full(len(blk_starts), salt, dtype=np.int32),
+            "block_id": np.concatenate(
+                [np.arange(k, dtype=np.int32) for k in blocks_per_term]
+            ),
+            "min_doc": ids[blk_starts],
+            "max_doc": ids[blk_ends - 1],
+            "n_docs": (blk_ends - blk_starts).astype(np.int32),
+            "doc_ids": encode_doc_id_segments(ids, bounds),
+            "tfs": vb_encode_segments(tfs, bounds),
+            "dls": vb_encode_segments(dls, bounds),
+            # exact bound at build-time avgdl (diagnostics/tests); the query
+            # path recomputes a drift-safe bound from (max_tf, min_dl)
+            "block_max_score": np.maximum.reduceat(contrib, blk_starts),
+            "max_tf": np.maximum.reduceat(tfs, blk_starts).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dls, blk_starts).astype(np.int32),
+        }
         return pd.DataFrame(out)
 
     return reblock

@@ -99,6 +99,42 @@ def event_fold(
     )
 
 
+def lag_metrics(
+    transcripts: DataFrame, indexed_at: "str | None" = None
+) -> DataFrame:
+    """A24 lag/throughput metrics: per conversation, the delay between the
+    newest source event and the index build time (the reference's
+    ``lastSyncTime - lastDataManipulateTime`` delay,
+    ``extract/KafkaMsgListener.java:276-283``)."""
+    now = F.lit(indexed_at).cast("timestamp") if indexed_at else F.current_timestamp()
+    return transcripts.groupBy("conv_id").agg(
+        F.max("ts").alias("last_event_ts"),
+        F.count("*").alias("n_turns"),
+    ).withColumn(
+        "delay_s", (now.cast("double") - F.col("last_event_ts").cast("double"))
+    )
+
+
+def threshold_alerts(
+    metrics: DataFrame,
+    max_stage_wall_s: float = 3600.0,
+    min_docs_per_s: float = 100.0,
+) -> DataFrame:
+    """A25 threshold alerting over the metrics table (``MonitorTask.java:
+    22-153``): stages that breach wall/throughput thresholds. Returns
+    (stage, key, value, reason) — empty means healthy."""
+    slow = (
+        metrics.where((F.col("key") == "wall_s") & (F.col("value") > max_stage_wall_s))
+        .withColumn("reason", F.lit("stage_wall_exceeded"))
+    )
+    low_thr = (
+        metrics.where(
+            (F.col("key") == "docs_per_s") & (F.col("value") < min_docs_per_s)
+        ).withColumn("reason", F.lit("throughput_below_min"))
+    )
+    return slow.unionByName(low_thr).select("stage", "key", "value", "reason")
+
+
 def typed_cast(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     """A9 scalar casts with null→0 default for numerics, mirroring the
     ClickHouse coercion (``load/impl/CkLoadServiceImpl.java:228-276``)."""

@@ -310,14 +310,18 @@ class IndexSearcher:
         self, pdf, dfs: dict[str, int], k: int
     ) -> list[tuple[int, float]]:
         """Exhaustive numpy scoring of the collected blocks (exact BM25)."""
+        from ..index.codec import decode_block_batch
+
         ids_all, contrib_all = [], []
         for term, g in pdf.groupby("term", sort=True):
             if dfs.get(term, 0) <= 0:
                 continue
             w = idf(self.n_docs, dfs[term])
-            ids = np.concatenate([decode_doc_ids(b) for b in g["doc_ids"]])
-            tfs = np.concatenate([decode_tfs(b) for b in g["tfs"]]).astype(np.float64)
-            dls = np.concatenate([decode_tfs(b) for b in g["dls"]]).astype(np.float64)
+            ids, tfs, dls = decode_block_batch(
+                g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
+            )
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
             ids_all.append(ids)
             contrib_all.append(
                 w * tfs / (tfs + K1 * (1.0 - B + B * dls / self.avgdl))
@@ -332,11 +336,16 @@ class IndexSearcher:
             ids, contrib = ids[alive], contrib[alive]
             if ids.size == 0:
                 return []
-        uniq, inv = np.unique(ids, return_inverse=True)
-        scores = np.zeros(len(uniq))
-        # deterministic summation: within a doc, contributions accumulate in
-        # term-sorted order (groupby sort=True) — same order the oracle uses
-        np.add.at(scores, inv, contrib)
+        if len(ids_all) == 1:
+            # single term: one posting per doc, already doc-sorted — skip
+            # the merge pass entirely
+            uniq, scores = ids, contrib
+        else:
+            # doc ids are dense → per-doc sums via bincount (C-speed scatter
+            # add), then compact to matched docs only
+            full = np.bincount(ids, weights=contrib, minlength=int(ids.max()) + 1)
+            uniq = np.flatnonzero(full)
+            scores = full[uniq]
         if k < len(uniq):
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             cand = np.flatnonzero(scores >= kth)  # boundary ties included
@@ -345,7 +354,7 @@ class IndexSearcher:
         order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
         return [(int(uniq[i]), float(scores[i])) for i in order]
 
-    def _live_dfs(self, pdf) -> dict[str, int]:
+    def _live_dfs(self, pdf) -> "dict[str, int]":
         """Exact live df per term: Σ n_docs over blocks on a fresh snapshot
         (no tombstones); from the maintained terms table once increments
         have been applied (it tracks live df exactly)."""

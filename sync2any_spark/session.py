@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/spill through RAM-backed storage: local-mode shuffles on
+        # the single virtual disk otherwise serialize 32-way writers
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

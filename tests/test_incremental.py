@@ -100,6 +100,21 @@ def test_distributed_after_increment(spark, base, applied):
         assert [g[0] for g in got] == [w[0] for w in want], q
 
 
+def test_local_searcher_after_increment(spark, base, applied):
+    """Serving tier honors tombstones + maintained live df."""
+    from sync2any_spark.query.serving import LocalSearcher
+
+    oracle = _merged_oracle(spark, base)
+    searcher = LocalSearcher(base)
+    assert searcher.deleted
+    for q in QUERIES:
+        got = searcher.search(q, 10)
+        want = oracle.topk(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+
+
 def test_idempotent_reapply(spark, base, increments, applied):
     """FIXTURES F4: re-applying the same batch must be a complete no-op."""
     def state():

@@ -177,6 +177,23 @@ def test_topk_matches_oracle_full_query_set(spark, index_dir, oracle, engine):
             assert gs == pytest.approx(ws, rel=1e-9), q.query_text
 
 
+@pytest.mark.parametrize("engine", ["vectorized", "bmw"])
+def test_local_searcher_matches_oracle(spark, index_dir, oracle, engine):
+    """The RAM-resident serving tier returns identical rankings from the
+    same block files (no Spark in the query path)."""
+    from sync2any_spark.query.serving import LocalSearcher
+
+    o, _ = oracle
+    searcher = LocalSearcher(index_dir)
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    for q in queries.itertuples(index=False):
+        got = searcher.search(q.query_text, int(q.k), engine=engine)
+        want = o.topk(q.query_text, int(q.k))
+        assert [g[0] for g in got] == [w[0] for w in want], q.query_text
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q.query_text
+
+
 def test_distributed_matches_oracle(spark, index_dir, oracle):
     o, _ = oracle
     searcher = IndexSearcher(spark, index_dir)
