@@ -268,8 +268,43 @@ def _q_docs_table_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_stats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary + df/cf over the skewed transcripts corpus (terms table
+    algebra, B2/B4 statistics layer)."""
+    return algebra.term_stats(_transcripts(spark, sf_dir), ["conv_id", "turn_idx"]).select(
+        "term", "df", "cf"
+    )
+
+
+def _q_dl_histogram_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution (the BM25 norm input) bucketed by 10 tokens."""
+    dl = algebra.doc_lengths(_transcripts(spark, sf_dir), ["conv_id", "turn_idx"])
+    return (
+        dl.groupBy((F.floor(F.col("dl") / 10) * 10).cast("long").alias("dl_bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_ts_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.C date handling under pinned-UTC sessions (the engine's answer to
+    the reference's hard-coded +8h shift, TableRecords.java:304-308):
+    per-day turn counts and formatted bounds."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ts_normalization_transcripts": _q_ts_normalization,
+        "term_stats_transcripts": _q_term_stats_transcripts,
+        "dl_histogram_transcripts": _q_dl_histogram_transcripts,
         "dedup_exact_documents": _q_dedup_exact,
         "minhash_lsh_pairs_documents": _q_minhash_lsh_pairs,
         "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -424,6 +459,29 @@ def oracle_sql() -> dict[str, str]:
         for g in ("en", "es", "de", "fr")
     )
     return {
+        "ts_normalization_transcripts": f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS n_turns,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM {tsrc} GROUP BY 1
+        """,
+        "term_stats_transcripts": f"""
+            WITH toks AS (
+              SELECT conv_id, turn_idx, unnest({TOK}) AS term FROM {tsrc}
+            ),
+            tf AS (
+              SELECT conv_id, turn_idx, term, count(*)::BIGINT AS tf
+              FROM toks GROUP BY ALL
+            )
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+            FROM tf GROUP BY term
+        """,
+        "dl_histogram_transcripts": f"""
+            WITH dl AS (SELECT len({TOK})::BIGINT AS dl FROM {tsrc})
+            SELECT (dl // 10 * 10)::BIGINT AS dl_bucket, count(*)::BIGINT AS n_docs
+            FROM dl GROUP BY 1
+        """,
         "dedup_exact_documents": """
             SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
                    min(doc_id) AS keep_id

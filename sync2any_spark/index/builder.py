@@ -609,7 +609,9 @@ def build_index(
 
     t0 = time.time()
     docs = build_docs(transcripts)
-    docs.write.mode("overwrite").parquet(paths.docs)
+    # snappy: the docs store is a full corpus copy — compression CPU would
+    # dominate this stage; the read-heavy postings stay zstd
+    docs.write.mode("overwrite").option("compression", "snappy").parquet(paths.docs)
     docs = spark.read.parquet(paths.docs)
     metrics.append(("docs", "wall_s", time.time() - t0))
 
