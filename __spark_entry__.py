@@ -300,8 +300,27 @@ def _q_ts_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase capability (B6 positional variant): occurrence counts of
+    the exact bigram 'table hash' per doc."""
+    from sync2any_spark.query.phrase import phrase_occurrences
+
+    return phrase_occurrences(
+        _docs(spark, sf_dir), ["table", "hash"], ["doc_id"]
+    ).select("doc_id", "ptf")
+
+
+def _q_phrase_topk_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sync2any_spark.query.phrase import phrase_topk
+
+    out = phrase_topk(_transcripts(spark, sf_dir), "中 文", 10, ["conv_id", "turn_idx"])
+    return out.select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "phrase_match_documents": _q_phrase_match_documents,
+        "phrase_topk_transcripts": _q_phrase_topk_transcripts,
         "ts_normalization_transcripts": _q_ts_normalization,
         "term_stats_transcripts": _q_term_stats_transcripts,
         "dl_histogram_transcripts": _q_dl_histogram_transcripts,
@@ -459,6 +478,60 @@ def oracle_sql() -> dict[str, str]:
         for g in ("en", "es", "de", "fr")
     )
     return {
+        "phrase_match_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({TOK}) AS term,
+                     generate_subscripts({TOK}, 1) AS pos
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                     CASE WHEN term = 'table'
+                               AND lead(term, 1) OVER w = 'hash'
+                          THEN 1 ELSE 0 END AS hit
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id, sum(hit)::BIGINT AS ptf
+            FROM hits GROUP BY doc_id HAVING sum(hit) > 0
+        """,
+        "phrase_topk_transcripts": f"""
+            WITH toks AS (
+              SELECT conv_id, turn_idx, unnest({TOK}) AS term,
+                     generate_subscripts({TOK}, 1) AS pos
+              FROM {tsrc}
+            ),
+            dl AS (SELECT conv_id, turn_idx, len({TOK})::BIGINT AS dl FROM {tsrc}),
+            stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+            tfq AS (
+              SELECT conv_id, turn_idx, term, count(*) AS tf FROM toks
+              WHERE term IN ('中', '文') GROUP BY ALL
+            ),
+            dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfq GROUP BY term),
+            idfsum AS (
+              SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS v
+              FROM dfq CROSS JOIN stats s
+            ),
+            occ_hits AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN term = '中' AND lead(term, 1) OVER w = '文'
+                          THEN 1 ELSE 0 END AS hit
+              FROM toks
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)
+            ),
+            occ AS (
+              SELECT conv_id, turn_idx, sum(hit)::BIGINT AS ptf
+              FROM occ_hits GROUP BY ALL
+            )
+            SELECT conv_id, turn_idx,
+                   round(i.v * ptf / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+                     AS score
+            FROM occ
+            JOIN dl USING (conv_id, turn_idx)
+            CROSS JOIN stats s CROSS JOIN idfsum i
+            WHERE ptf > 0
+            ORDER BY score DESC, conv_id, turn_idx
+            LIMIT 10
+        """,
         "ts_normalization_transcripts": f"""
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(*)::BIGINT AS n_turns,

@@ -31,8 +31,10 @@ class BM25Oracle:
         """docs: [(doc_id, text)] — doc_id dense, any order."""
         self.dl: dict[int, int] = {}
         self.postings: dict[str, dict[int, int]] = {}
+        self.tokens: dict[int, list[str]] = {}
         for doc_id, text in docs:
             toks = tokenize(text)
+            self.tokens[doc_id] = toks
             self.dl[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -68,5 +70,30 @@ class BM25Oracle:
                 dl = self.dl[doc_id]
                 norm = tf + K1 * (1.0 - B + B * dl / self.avgdl)
                 scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf / norm
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> "list[tuple[int, float]]":
+        """Lucene PhraseQuery semantics: ptf (exact occurrence count of the
+        term sequence) as tf, summed idf of the phrase terms as weight."""
+        terms = tokenize(phrase)
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if any(t not in self.postings for t in uniq):
+            return []
+        idf_sum = sum(self.idf(t) for t in uniq)
+        n = len(terms)
+        scores: dict[int, float] = {}
+        for doc_id, toks in self.tokens.items():
+            ptf = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if toks[i : i + n] == terms
+            )
+            if ptf:
+                dl = self.dl[doc_id]
+                norm = ptf + K1 * (1.0 - B + B * dl / self.avgdl)
+                scores[doc_id] = idf_sum * ptf / norm
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

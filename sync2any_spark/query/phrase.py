@@ -1,0 +1,153 @@
+"""Phrase (positional) queries — the ES ``match_phrase`` capability.
+
+Lucene PhraseQuery semantics (public): the phrase's occurrence count acts
+as the tf, and the weight is the SUM of the phrase terms' idfs:
+
+    score(q,d) = (Σ_t idf(t)) · ptf / (ptf + k1·(1 − b + b·dl/avgdl))
+
+Spark-first strategy instead of storing positions in the index: the index
+prunes (postings intersection gives the docs containing ALL phrase terms —
+tiny relative to the corpus), then adjacency is verified JVM-side on the
+pruned docs-store subset with a lead-window over the token stream. This
+trades index size (no positions stored) for a bounded re-tokenization of
+candidates — the right trade for transcript turns (short docs); a
+positions-in-postings variant would slot into the same block format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..tokenize import tokenize
+from .algebra import SPARK_TOKEN_RE, doc_lengths, term_freqs
+
+
+def phrase_occurrences(
+    df: DataFrame, phrase_terms: "list[str]", id_cols: "list[str]", text_col: str = "text"
+) -> DataFrame:
+    """(id_cols…, ptf) for docs with ≥1 occurrence of the exact term
+    sequence — one posexplode + lead window, all JVM."""
+    toks = df.select(
+        *id_cols,
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(SPARK_TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy(*id_cols).orderBy("pos")
+    cond = F.col("term") == phrase_terms[0]
+    for j, t in enumerate(phrase_terms[1:], start=1):
+        cond = cond & (F.lead("term", j).over(w) == t)
+    return (
+        toks.withColumn("_hit", cond.cast("int"))
+        .groupBy(*id_cols)
+        .agg(F.sum("_hit").alias("ptf"))
+        .where(F.col("ptf") > 0)
+    )
+
+
+def phrase_topk(
+    df: DataFrame, phrase: str, k: int, id_cols: "list[str]", text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase top-k in pure DataFrame algebra (oracle-comparable)."""
+    terms = tokenize(phrase)
+    spark = df.sparkSession
+    if not terms:
+        schema = ", ".join(f"`{c}` string" for c in id_cols)
+        return spark.createDataFrame([], schema=f"{schema}, score double")
+
+    dl = doc_lengths(df, id_cols, text_col)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    uniq = list(dict.fromkeys(terms))
+    tf = term_freqs(df, id_cols, text_col).where(F.col("term").isin(uniq))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_sum = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+            ).alias("idf_sum")
+        )
+    )
+    # terms absent from the corpus contribute idf of df=0; a fully absent
+    # term means no phrase match anyway (ptf join below is empty)
+    occ = phrase_occurrences(df, terms, id_cols, text_col)
+    scored = (
+        occ.join(dl, id_cols)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(idf_sum))
+        .withColumn(
+            "score",
+            F.col("idf_sum")
+            * F.col("ptf")
+            / (
+                F.col("ptf")
+                + F.lit(K1)
+                * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .select(*id_cols, "score")
+    )
+    order = [F.col("score").desc()] + [F.col(c).asc() for c in id_cols]
+    return scored.orderBy(*order).limit(k)
+
+
+def phrase_topk_indexed(searcher, phrase: str, k: int = 10) -> "list[tuple[int, float]]":
+    """Index-accelerated phrase top-k (IndexSearcher): postings intersection
+    prunes to docs containing ALL phrase terms, adjacency is verified on the
+    pruned docs-store subset, stats come from the index."""
+    import math
+
+    import numpy as np
+
+    terms = tokenize(phrase)
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return []
+    pdf = searcher._pruned_blocks(uniq).select(*searcher._block_cols).toPandas()
+    if pdf.empty or pdf["term"].nunique() < len(uniq):
+        return []  # some phrase term absent entirely
+    from ..index.codec import decode_block_batch
+
+    doc_sets = []
+    dfs = searcher._live_dfs(pdf)
+    for term, g in pdf.groupby("term"):
+        ids, _tfs, _dls = decode_block_batch(
+            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
+        )
+        doc_sets.append(ids)
+    cand = doc_sets[0]
+    for ids in doc_sets[1:]:
+        cand = cand[np.isin(cand, ids)]
+    if searcher.deleted:
+        dead = np.fromiter(searcher.deleted, dtype=np.int64)
+        cand = cand[~np.isin(cand, dead)]
+    if cand.size == 0:
+        return []
+
+    docs = searcher._docs.where(F.col("doc_id").isin([int(x) for x in cand]))
+    occ = phrase_occurrences(docs, terms, ["doc_id"]).join(
+        docs.select("doc_id", "dl"), "doc_id"
+    )
+    idf_sum = sum(
+        math.log(1.0 + (searcher.n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in uniq
+    )
+    avgdl = searcher.avgdl
+    rows = occ.collect()
+    scored = [
+        (
+            int(r.doc_id),
+            idf_sum
+            * r.ptf
+            / (r.ptf + K1 * (1.0 - B + B * r.dl / avgdl)),
+        )
+        for r in rows
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
