@@ -257,6 +257,18 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (iterative k-means, mapInPandas matrix
+    kernels) — rows-only; recall + determinism asserted in pytest."""
+    from sync2any_spark.pipeline.similarity import ivf_fit, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    rest = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_fit(rest, "vec_id", "embedding", dim=64, n_centroids=8, n_iters=3)
+    return ivf_topk(rest, "vec_id", "embedding", qv, centroids, 10, n_probe=4)
+
+
 def _q_docs_table_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable dense doc-id assignment (two-level prefix sum) — oracle is a
     plain rank over the composite PK."""
@@ -337,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata_documents": _q_blob_metadata,
         "image_decode_features": _q_image_decode_features,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "docs_table_transcripts": _q_docs_table_transcripts,
         "bm25_topk_documents": _q_bm25_topk_documents,
         "term_stats_documents": _q_term_stats_documents,

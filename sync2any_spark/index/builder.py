@@ -451,13 +451,24 @@ def build_chunks(
     )
 
 
+def _read_chunks(spark: SparkSession, chunks_dir: str, glob: str) -> DataFrame:
+    """Chunk reader tolerant of an all-empty corpus (no token → no chunk
+    files): returns an empty, correctly-typed relation instead of a
+    path-not-found error."""
+    import glob as globmod
+
+    if not globmod.glob(os.path.join(chunks_dir, glob)):
+        return spark.createDataFrame([], CHUNK_SCHEMA)
+    return spark.read.parquet(os.path.join(chunks_dir, glob))
+
+
 def build_term_stats(
     spark: SparkSession, chunks_dir: str, n_buckets: int, glob: str = "part-*.parquet"
 ) -> DataFrame:
     """terms(term, df, cf, bucket) from chunk rows (map-side combined sums)."""
     from .bucketing import bucket_expr
 
-    chunks = spark.read.parquet(os.path.join(chunks_dir, glob))
+    chunks = _read_chunks(spark, chunks_dir, glob)
     return chunks.groupBy("term").agg(
         F.sum("n_docs").cast("long").alias("df"), F.sum("cf").alias("cf")
     ).withColumn("bucket", bucket_expr("term", n_buckets))
@@ -563,7 +574,7 @@ def build_postings(
     """
     from .bucketing import bucket_expr
 
-    chunks = spark.read.parquet(os.path.join(chunks_dir, glob))
+    chunks = _read_chunks(spark, chunks_dir, glob)
     heavy = terms.where(F.col("df") > heavy_df_threshold).select(
         "term", F.lit(True).alias("is_heavy")
     )

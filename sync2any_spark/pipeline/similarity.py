@@ -91,6 +91,118 @@ def rp_lsh_buckets(
     return df.select(F.col(id_col), bucket.cast("long").alias("bucket"))
 
 
+def ivf_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 11,
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means over the embedding column.
+
+    Iterative-algorithm shape done Spark-first: assignment is a vectorized
+    ``mapInPandas`` matrix multiply (Arrow batch × centroid matrix — never
+    per-row Python), the update step is a per-cluster pandas mean, and only
+    the C×dim centroid matrix moves through the driver between iterations
+    (broadcast into the next assignment's closure). Init is a seeded sample
+    (deterministic given the data)."""
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(id_col), F.lit(997)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[1]) for r in sample], dtype=np.float64)
+
+    for _ in range(n_iters):
+        cents = centroids  # closure copy for this iteration
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # cosine assignment: normalize then argmax dot
+                mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cn = cents / np.maximum(
+                    np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+                )
+                cl = np.argmax(mn @ cn.T, axis=1)
+                yield pd.DataFrame({"cluster": cl.astype(np.int32), "vec": list(mat)})
+
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            assign, schema="cluster int, vec array<double>"
+        )
+
+        def mean_of(key, pdf):
+            import pandas as pd
+
+            m = np.stack(pdf["vec"].to_numpy()).mean(axis=0)
+            return pd.DataFrame({"cluster": [int(key[0])], "centroid": [list(m)]})
+
+        rows = (
+            assigned.groupBy("cluster")
+            .applyInPandas(mean_of, schema="cluster int, centroid array<double>")
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            new[r.cluster] = np.array(r.centroid)
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, cluster) under the fitted coarse quantizer."""
+    cents = centroids
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+            cl = np.argmax(mn @ cn.T, axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "cluster": cl.astype(np.int32)})
+
+    import pandas as pd  # noqa: F401  (kernel import, kept local above)
+
+    return df.mapInPandas(assign, schema="id long, cluster int").withColumnRenamed(
+        "id", id_col
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: "list[float]",
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k: score only the rows whose IVF cell is among the query's
+    ``n_probe`` nearest centroids — at scale the assignment is precomputed
+    and the posting-list-per-cell layout prunes the scan exactly like the
+    term buckets do."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    cand = df.join(
+        assigned.where(F.col("cluster").isin(probes)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
 def rp_lsh_topk(
     df: DataFrame,
     id_col: str,

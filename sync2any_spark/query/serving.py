@@ -44,11 +44,14 @@ class LocalSearcher:
         )
         self.n_docs = int(st.n_docs)
         self.avgdl = float(st.avgdl)
-        blocks = (
-            ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
-            .to_table(columns=BLOCK_COLS)
-            .to_pandas()
-        )
+        try:
+            blocks = (
+                ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
+                .to_table(columns=BLOCK_COLS)
+                .to_pandas()
+            )
+        except Exception:  # all-empty corpus → no postings files
+            blocks = pd.DataFrame({c: [] for c in BLOCK_COLS})
         # term → block-slice index (sorted once; per-query lookup is O(log n))
         blocks = blocks.sort_values(["term", "salt", "min_doc"], kind="stable")
         self._blocks = blocks.reset_index(drop=True)

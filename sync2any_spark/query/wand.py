@@ -230,7 +230,13 @@ class IndexSearcher:
         st = spark.read.parquet(os.path.join(index_dir, "stats")).first()
         self.n_docs = int(st.n_docs)
         self.avgdl = float(st.avgdl)
-        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        try:
+            self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        except Exception:
+            # an all-empty corpus writes no postings files — valid index
+            from ..index.builder import BLOCK_SCHEMA
+
+            self._postings = spark.createDataFrame([], BLOCK_SCHEMA)
         self._block_cols = [
             "term", "salt", "block_id", "min_doc", "max_doc",
             "doc_ids", "tfs", "dls", "max_tf", "min_dl", "n_docs",

@@ -28,6 +28,18 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+
+    # Python workers do NOT inherit the driver's sys.path — only PYTHONPATH.
+    # The SPIMI/merge kernels import sync2any_spark inside tasks, so the
+    # package root must be on PYTHONPATH before the JVM (and its worker
+    # factory) starts. On a real cluster --py-files does this instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

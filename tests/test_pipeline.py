@@ -99,6 +99,42 @@ def test_ann_probes_fewer_rows(embeddings):
     assert max(r["count"] for r in sizes) < embeddings.count() / 2
 
 
+def test_ivf_recall_and_pruning(embeddings):
+    from sync2any_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    emb = embeddings
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    rest = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_fit(rest, "vec_id", "embedding", dim=64, n_centroids=8, n_iters=4)
+    assert centroids.shape == (8, 64)
+    # clusters genuinely partition the data
+    sizes = ivf_assign(rest, "vec_id", "embedding", centroids).groupBy("cluster").count()
+    counts = {r.cluster: r["count"] for r in sizes.collect()}
+    assert sum(counts.values()) == rest.count()
+    assert len(counts) >= 4
+    exact = [r.vec_id for r in cosine_topk(rest, "vec_id", "embedding", qv, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(rest, "vec_id", "embedding", qv, centroids, 10, n_probe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_ivf_deterministic(embeddings):
+    from sync2any_spark.pipeline.similarity import ivf_fit
+
+    emb = embeddings.where(F.col("vec_id") != 0)
+    a = ivf_fit(emb, "vec_id", "embedding", dim=64, n_centroids=4, n_iters=2)
+    b = ivf_fit(emb, "vec_id", "embedding", dim=64, n_centroids=4, n_iters=2)
+    assert np.allclose(a, b)
+
+
 def test_multimodal_decode_schema_and_determinism(documents, spark):
     from sync2any_spark.pipeline.multimodal import attach_blob, decode_images
 
