@@ -29,7 +29,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.builder import (
@@ -106,16 +106,18 @@ def apply_increments(
     all_tombstones = deletes_new.union(tombstoned_updates).persist()
     n_tombstones = all_tombstones.count()
 
-    # fresh doc ids above the current max — never reused. The batch is
-    # CDC-sized (not corpus-sized), so a single-partition window is fine;
-    # a snapshot-sized backfill should use build_index instead.
+    # fresh doc ids above the current max — never reused. Batch-internal
+    # rank comes from the same scalable two-level prefix sum the snapshot
+    # build uses (assign_doc_ids), so arbitrarily large backfill batches
+    # don't funnel through a single-partition window.
+    from ..index.builder import assign_doc_ids
+
     max_doc = spark.read.parquet(paths.docs).agg(F.max("doc_id")).first()[0]
-    w = Window.orderBy("conv_id", "turn_idx")
     new_docs = (
-        upserts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .withColumn(
-            "doc_id", (F.row_number().over(w) + F.lit(int(max_doc))).cast("long")
+        assign_doc_ids(
+            upserts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
         )
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(int(max_doc) + 1)).cast("long"))
         .withColumn(
             "dl",
             F.size(
