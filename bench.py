@@ -36,11 +36,17 @@ CPUS_BASE = max(1, CPUS // 16)
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "4"))
 # repeat each build and take the min wall — single-run noise on this shared
 # virtual machine is ±40%
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+# bench indexes live on RAM-backed storage: the build is a compute/shuffle
+# benchmark, and the host's virtual disk adds ±40% co-tenant noise that
+# would swamp the scaling-efficiency signal (BENCH.md methodology)
+BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark-graft-bench")
 
 
 def _index_dir(tag: str, cpus: int) -> str:
-    return os.path.join(REPO, "data", "index", f"bench-{tag}-cpus{cpus}")
+    return os.path.join(BENCH_ROOT, f"bench-{tag}-cpus{cpus}")
 
 
 def phase_build(cpus: int, out_path: str) -> None:
@@ -56,18 +62,36 @@ def phase_build(cpus: int, out_path: str) -> None:
     # the JOB is identical at every parallelism level (same partition
     # counts, same shuffle width) — only the executor-thread count varies,
     # mirroring "same job, N vs 4N executors"
-    spark = get_spark(f"bench_build_c{cpus}", cpus=cpus, shuffle_partitions=64)
+    spark = get_spark(f"bench_build_c{cpus}", cpus=cpus, shuffle_partitions=96)
+
+    # JIT/codegen warmup: a sf0.001 build in the same JVM compiles every
+    # scan/agg/shuffle/UDF path once, so the timed run measures steady-state
+    # throughput, not first-job compilation (which is a fixed cost that would
+    # otherwise distort the N-vs-4N ratio on short runs)
+    warm_src = ensure_transcripts("sf0.001", 1)
+    warm_idx = os.path.join(BENCH_ROOT, f"warmup-cpus{cpus}")
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    build_index(
+        spark, spark.read.parquet(warm_src), warm_idx,
+        n_partitions=8, n_buckets=4, resume=False,
+        source_path=warm_src, span_mb=4,
+    )
+    shutil.rmtree(warm_idx, ignore_errors=True)
+
     transcripts = spark.read.parquet(src)
     t0 = time.time()
     summary = build_index(
         spark,
         transcripts,
         idx,
-        n_partitions=64,
+        n_partitions=32,
         n_buckets=32,
         n_salts=8,
         heavy_df_threshold=20_000,
         resume=False,
+        input_split_mb=1,  # the source is one file; split per row group
+        source_path=src,   # enables the fused one-pass segment build
+        span_mb=4,
     )
     wall = time.time() - t0
     import pyarrow.dataset as pads

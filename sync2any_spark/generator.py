@@ -175,7 +175,13 @@ def ensure_transcripts(sf: str, mult: int = 1) -> str:
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        pq.write_table(generate_transcripts(sf, mult), tmp, compression="zstd")
+        # small row groups so Spark can split the single file into many scan
+        # tasks (spark.sql.files.maxPartitionBytes can't split inside a row
+        # group) — a real 100 TB source has many files and doesn't need this
+        pq.write_table(
+            generate_transcripts(sf, mult), tmp, compression="zstd",
+            row_group_size=8192,
+        )
         os.replace(tmp, path)
     return path
 

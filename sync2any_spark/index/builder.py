@@ -12,26 +12,33 @@ Pipeline (SURVEY.md §7.1 M2/M3, north-rule core):
    *is* the row, as in the reference's parameter projection
    (``transform/RecordsTransform.java:54-76``); per-turn text equality vs the
    source is asserted in tests.
-3. **SPIMI chunks** — ``groupBy(part_id).applyInPandas``: each partition
-   (hash of ``conv_id`` — stable across runs, which makes resume sound)
-   tokenizes its turns with the canonical Python analyzer and builds an
-   in-memory ``term → (doc_ids, tfs, dls)`` map, written as one
-   varbyte-compressed parquet chunk **directly from the task** with an
+3. **SPIMI chunks** — shuffle-free in the default ``files`` mode: one task
+   per docs-store file (the same unit Spark's scan planner uses); the task
+   reads its file with pyarrow, tokenizes + tf-counts + varbyte-encodes in
+   one vectorized pandas/numpy pass, and writes one chunk parquet with an
    atomic tmp→rename plus a per-partition manifest JSON. A re-run skips
    completed partitions (the analog of the reference's offset-reset /
-   checkpoint-ack recovery, ``extract/KafkaMsgListener.java:76-79,312-330``).
+   checkpoint-ack recovery, ``extract/KafkaMsgListener.java:76-79,312-330``);
+   a changed docs layout invalidates the manifests via ``_filelist.json``.
 4. **Term stats** — ``groupBy(term)`` over chunk rows (map-side combined;
-   hot terms are sums of few-hundred-byte rows, not row explosions).
+   hot terms are sums of few-hundred-byte rows, not row explosions; parquet
+   column pruning keeps the posting binaries out of this scan).
 5. **Salted compaction merge** — chunks of a term are concatenated in doc-id
    order and re-cut into 128-posting blocks with exact per-block max-score
    bounds. Terms with df above a threshold are salted into ``n_salts``
    disjoint sub-streams (a doc lives in exactly one stream, so BM25 sums
-   stay exact) to keep the merge balanced under Zipf skew (B3).
-6. **Postings layout** — parquet partitioned by ``bucket = xxhash64(term) %
-   n_buckets`` so a query's ``bucket IN … AND term IN …`` filter prunes
-   partitions and pushes predicates into the scan.
+   stay exact) to keep the merge balanced under Zipf skew (B3). This is the
+   ONLY corpus-wide shuffle in the whole build, and it moves compressed
+   chunk bytes (~10× smaller than the token stream).
+6. **Postings layout** — parquet partitioned by ``bucket`` (md5-based:
+   first 15 hex chars of ``md5(term)`` mod ``n_buckets``, see
+   ``index/bucketing.py`` — md5 so the driver AND the DuckDB oracle can
+   compute buckets without a Spark job) so a query's ``bucket IN … AND
+   term IN …`` filter prunes partitions and pushes predicates into the
+   scan. The merge tasks hold whole (bucket, sub, salt) groups, so the
+   partitioned write emits directly from the merge — no extra shuffle.
 
-Scale posture: every stage is one shuffle or less; nothing collects more
+Scale posture: one corpus shuffle total (the merge); nothing collects more
 than per-partition counts (ints) to the driver. Knobs: ``n_partitions``
 (SPIMI group size ≈ corpus/n_partitions must fit an executor),
 ``n_buckets`` (query-side pruning granularity), ``n_salts`` ×
@@ -60,6 +67,10 @@ from .codec import encode_doc_ids, encode_tfs
 # of the bucket count (a term always lands in exactly one (bucket, sub))
 MERGE_SUBSPLIT = 8
 
+# chunk-file compression: intermediate SPIMI chunks are written once and read
+# twice (term stats + merge) — cheap-but-fast beats maximum ratio here
+CHUNK_COMPRESSION = os.environ.get("SPARK_GRAFT_CHUNK_COMPRESSION", "zstd")
+
 CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -80,6 +91,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("status", T.StringType()),
         T.StructField("rows", T.LongType()),
         T.StructField("n_terms", T.LongType()),
+        T.StructField("sum_dl", T.LongType()),
         T.StructField("wall_ms", T.LongType()),
         T.StructField("attempt", T.IntegerType()),
     ]
@@ -136,32 +148,117 @@ class IndexPaths:
     def deletes(self) -> str:
         return os.path.join(self.root, "deletes")
 
+    # --- per-segment paths (incremental maintenance, crash-atomic commit):
+    # every increment writes ONLY seg-owned dirs; the single atomic
+    # os.replace of meta.json is the commit point (streaming/incremental.py)
+    def postings_seg(self, n: int) -> str:
+        return os.path.join(self.root, "postings_segs", f"seg{n:05d}")
 
-def assign_doc_ids(
+    def docs_seg(self, n: int) -> str:
+        return os.path.join(self.root, "docs_segs", f"seg{n:05d}")
+
+    def deletes_seg(self, n: int) -> str:
+        return os.path.join(self.root, "deletes_segs", f"seg{n:05d}")
+
+    def terms_v(self, n: int) -> str:
+        return self.terms if n == 0 else os.path.join(self.root, f"terms_v{n:05d}")
+
+    def stats_v(self, n: int) -> str:
+        return self.stats if n == 0 else os.path.join(self.root, f"stats_v{n:05d}")
+
+
+def _has_parquet(d: str) -> bool:
+    """True if the dir holds any parquet data file (including inside hive
+    partition subdirs like bucket=K/)."""
+    if not os.path.isdir(d):
+        return False
+    for _root, _dirs, files in os.walk(d):
+        if any(n.endswith(".parquet") for n in files):
+            return True
+    return False
+
+
+def read_index_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def postings_sources(index_dir: str, meta: dict) -> "list[str]":
+    """Base postings dir + every COMMITTED delta segment (meta['segments']).
+    Uncommitted staging dirs are invisible by construction — crash-safety
+    comes from readers resolving strictly through the committed meta."""
+    p = IndexPaths(index_dir)
+    out = [p.postings] if _has_parquet(p.postings) else []
+    for n in meta.get("segments", []):
+        d = p.postings_seg(n)
+        if _has_parquet(d):
+            out.append(d)
+    return out
+
+
+def docs_sources(index_dir: str, meta: dict) -> "list[str]":
+    p = IndexPaths(index_dir)
+    out = [p.docs] if _has_parquet(p.docs) else []
+    for n in meta.get("segments", []):
+        d = p.docs_seg(n)
+        if _has_parquet(d):
+            out.append(d)
+    return out
+
+
+def deletes_sources(index_dir: str, meta: dict) -> "list[str]":
+    p = IndexPaths(index_dir)
+    out = [p.deletes] if _has_parquet(p.deletes) else []
+    for n in meta.get("segments", []):
+        d = p.deletes_seg(n)
+        if _has_parquet(d):
+            out.append(d)
+    return out
+
+
+DOCS_SCHEMA = (
+    "doc_id long, conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, dl int"
+)
+
+
+def _conv_offsets(
     transcripts: DataFrame, n_range_parts: int = 64
-) -> DataFrame:
-    """transcripts + dense stable ``doc_id`` (global (conv_id, turn_idx) rank).
+) -> "tuple[DataFrame, int, bool]":
+    """(conv_offsets(conv_id, conv_offset, n_turns), n_convs, dense).
 
     Two-level prefix sum: per-conversation turn counts are range-partitioned
     by ``conv_id``; partition subtotals (one long per partition) come to the
-    driver and go back as broadcast offsets. Inside a partition a window
-    cumsum finishes the conversation offset; inside a conversation a
-    ``row_number`` over ``turn_idx`` finishes the doc id. No global window,
-    no skew (conversations are small), deterministic under re-runs.
+    driver and go back as broadcast offsets. ``dense`` is true when every
+    conversation's ``turn_idx`` is exactly 0..n_turns-1 (the reference's PK
+    contract) — checked with one tiny agg over the conv relation, never the
+    corpus.
     """
     spark = transcripts.sparkSession
     convs = (
         transcripts.groupBy("conv_id")
-        .agg(F.count("*").alias("n_turns"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("_mn"),
+            F.max("turn_idx").alias("_mx"),
+        )
         .repartitionByRange(n_range_parts, "conv_id")
         .sortWithinPartitions("conv_id")
         .withColumn("part_id", F.spark_partition_id())
         .persist()
     )
-    subtotals = {
-        r.part_id: r.s
-        for r in convs.groupBy("part_id").agg(F.sum("n_turns").alias("s")).collect()
-    }
+    agg = convs.groupBy("part_id").agg(
+        F.sum("n_turns").alias("s"),
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("_mn") != 0) | (F.col("_mx") != F.col("n_turns") - 1), 1
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()
+    subtotals = {r.part_id: r.s for r in agg}
+    n_convs = int(sum(r.n for r in agg))
+    dense = sum(r.bad for r in agg) == 0
     offsets, acc = [], 0
     for pid in sorted(subtotals):
         offsets.append((pid, acc))
@@ -178,10 +275,76 @@ def assign_doc_ids(
             "conv_offset",
             F.col("part_offset") + F.coalesce(F.sum("n_turns").over(w_part), F.lit(0)),
         )
-        .select("conv_id", "conv_offset")
+        .select("conv_id", "conv_offset", "n_turns")
     )
+    return conv_offsets, n_convs, dense
+
+
+# conversations below this count broadcast the offset table (map-only doc-id
+# assignment); above it, fall back to a shuffle join — the 10^9-conversation
+# regime where a broadcast table would not fit executors
+BROADCAST_CONV_LIMIT = 20_000_000
+
+
+def _conv_offsets_driver(transcripts: DataFrame) -> "pd.Series | None":
+    """conv_id → first-doc-id offsets as a pandas Series, or None when the
+    fused path doesn't apply (non-dense turn_idx, or too many conversations
+    to hold driver-side).
+
+    One corpus pass: a 2-column ``groupBy(conv_id)`` (map-side combined, so
+    the shuffle carries ~one row per conversation per task); the prefix sum
+    itself runs in numpy on the driver — for ≤BROADCAST_CONV_LIMIT
+    conversations that is a sort+cumsum over a few MB, far cheaper than a
+    range-repartition + window job. Density (turn_idx exactly 0..n-1) is
+    checked from the same aggregate.
+    """
+    agg = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+        )
+        .limit(BROADCAST_CONV_LIMIT + 1)
+        .toPandas()
+    )
+    if len(agg) > BROADCAST_CONV_LIMIT:
+        return None
+    if len(agg) and (
+        (agg["mn"] != 0).any() or (agg["mx"] != agg["n_turns"] - 1).any()
+    ):
+        return None
+    agg = agg.sort_values("conv_id", kind="stable")
+    starts = np.zeros(len(agg), dtype=np.int64)
+    if len(agg) > 1:
+        starts[1:] = np.cumsum(agg["n_turns"].to_numpy(dtype=np.int64))[:-1]
+    return pd.Series(starts, index=agg["conv_id"].to_numpy(), dtype=np.int64)
+
+
+def assign_doc_ids(transcripts: DataFrame, n_range_parts: int = 64) -> DataFrame:
+    """transcripts + dense stable ``doc_id`` (global (conv_id, turn_idx) rank).
+
+    Fast path (the reference's PK contract holds: ``turn_idx`` is dense
+    0..n-1 per conversation): ``doc_id = conv_offset + turn_idx`` via a
+    broadcast join of the small conversation-offset table — the corpus is
+    touched by exactly ONE map-side pass (no corpus shuffle, no window).
+    Fallback (non-dense turn_idx): shuffle join + per-conversation
+    ``row_number`` window (the round-1 path). Both produce the identical
+    global (conv_id, turn_idx) rank, deterministic under re-runs.
+    """
+    conv_offsets, n_convs, dense = _conv_offsets(transcripts, n_range_parts)
+    if dense:
+        off = conv_offsets.select("conv_id", "conv_offset")
+        if n_convs <= BROADCAST_CONV_LIMIT:
+            off = F.broadcast(off)
+        return transcripts.join(off, "conv_id").withColumn(
+            "doc_id",
+            (F.col("conv_offset") + F.col("turn_idx").cast("long")).cast("long"),
+        ).drop("conv_offset")
     w_turn = Window.partitionBy("conv_id").orderBy("turn_idx")
-    out = transcripts.join(conv_offsets, "conv_id").withColumn(
+    out = transcripts.join(
+        conv_offsets.select("conv_id", "conv_offset"), "conv_id"
+    ).withColumn(
         "doc_id", (F.col("conv_offset") + F.row_number().over(w_turn) - 1).cast("long")
     )
     return out.drop("conv_offset")
@@ -196,6 +359,144 @@ def build_docs(transcripts: DataFrame) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(SPARK_TOKEN_RE), 0)
         ),
     ).select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl")
+
+
+def _write_chunk(
+    chunks_dir: str, prefix: str, part_id: int, rows: dict,
+    n_rows_docs: int, n_terms: int, t0: float, sum_dl: int = 0,
+) -> pd.DataFrame:
+    """Write one SPIMI chunk parquet + manifest with atomic tmp→rename;
+    returns the manifest row (shared by all tokenizer kernels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(chunks_dir, exist_ok=True)
+    path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    table = pa.table(
+        rows,
+        schema=pa.schema(
+            [
+                ("term", pa.string()),
+                ("part_id", pa.int32()),
+                ("min_doc", pa.int64()),
+                ("max_doc", pa.int64()),
+                ("n_docs", pa.int32()),
+                ("cf", pa.int64()),
+                ("doc_ids", pa.binary()),
+                ("tfs", pa.binary()),
+                ("dls", pa.binary()),
+            ]
+        ),
+    )
+    pq.write_table(table, tmp, compression=CHUNK_COMPRESSION)
+    os.replace(tmp, path)
+    manifest = {
+        "partition_id": part_id,
+        "status": "done",
+        "rows": int(n_rows_docs),
+        "n_terms": int(n_terms),
+        "sum_dl": int(sum_dl),
+        "wall_ms": int((time.time() - t0) * 1000),
+        "attempt": 1,
+    }
+    mpath = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.manifest.json")
+    mtmp = mpath + f".tmp-{os.getpid()}"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, mpath)
+    return pd.DataFrame([manifest])
+
+
+_EMPTY_CHUNK_ROWS = {
+    "term": np.array([], dtype=object),
+    "part_id": np.array([], dtype=np.int32),
+    "min_doc": np.array([], dtype=np.int64),
+    "max_doc": np.array([], dtype=np.int64),
+    "n_docs": np.array([], dtype=np.int32),
+    "cf": np.array([], dtype=np.int64),
+    "doc_ids": [], "tfs": [], "dls": [],
+}
+
+
+def _spimi_encode(
+    part_id: int, doc_ids: np.ndarray, dls: np.ndarray, toks: "list[list[str]]"
+) -> "tuple[dict, int]":
+    """(chunk rows dict, n_terms) from per-doc token lists — the vectorized
+    SPIMI core: factorize terms to codes, combine ``code * n_rows + row_pos``
+    into one int64 key, one ``np.unique(return_counts)`` yields (term, doc)
+    → tf sorted by (term, doc) — doc ascending within a term because the
+    caller pre-sorts rows by doc_id."""
+    from itertools import chain
+
+    n_rows = len(doc_ids)
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = np.asarray(list(chain.from_iterable(toks)), dtype=object)
+    if flat.size == 0:
+        return dict(_EMPTY_CHUNK_ROWS), 0
+    codes, uniq_terms = pd.factorize(flat, sort=True)
+    row_pos = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    key = codes.astype(np.int64) * n_rows + row_pos
+    uk, tf = np.unique(key, return_counts=True)
+    t_code = uk // n_rows
+    pos = uk % n_rows
+    ids = doc_ids[pos]
+    dl_arr = dls[pos]
+
+    change = np.concatenate(([True], t_code[1:] != t_code[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(uk))
+    bounds = np.append(starts, len(uk))
+
+    from .codec import encode_doc_id_segments, vb_encode_segments
+
+    rows = {
+        "term": uniq_terms[t_code[starts]].astype(object),
+        "part_id": np.full(len(starts), part_id, dtype=np.int32),
+        "min_doc": ids[starts],
+        "max_doc": ids[ends - 1],
+        "n_docs": (ends - starts).astype(np.int32),
+        "cf": np.add.reduceat(tf, starts).astype(np.int64),
+        "doc_ids": encode_doc_id_segments(ids, bounds),
+        "tfs": vb_encode_segments(tf.astype(np.int64), bounds),
+        "dls": vb_encode_segments(dl_arr, bounds),
+    }
+    return rows, len(starts)
+
+
+def _chunk_builder_pandas(chunks_dir: str, prefix: str = ""):
+    """applyInPandas kernel: tokenize, tf-count, and varbyte-encode entirely
+    inside the Arrow batch — C-speed regex + factorize/unique, no per-token
+    Python objects beyond one flat list.
+
+    Compared to the ``jvm`` kernel this moves tokenization out of the JVM:
+    the only shuffle is the docs rows themselves (``groupBy(part_id)`` over
+    ~100-byte rows), not the exploded token stream — at 10^12 turns that is
+    the difference between shuffling the corpus once and shuffling ~50× the
+    corpus in (doc, term, tf) rows. tf-counting: factorize terms to codes,
+    combine ``code * n_rows + row_pos`` into one int64 key, one
+    ``np.unique(return_counts)`` gives (term, doc) → tf sorted by
+    (term_code, doc) — doc ascending within a term because rows are
+    pre-sorted by doc_id.
+    """
+
+    from ..tokenize import TOKEN_RE
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        part_id = int(pdf["part_id"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        findall = TOKEN_RE.findall
+        toks = [findall(t.lower()) if t else [] for t in pdf["text"]]
+        rows, n_terms = _spimi_encode(part_id, doc_ids, dls, toks)
+        return _write_chunk(
+            chunks_dir, prefix, part_id, rows, len(pdf), n_terms, t0,
+            sum_dl=int(dls.sum()),
+        )
+
+    return build
 
 
 def _chunk_builder(chunks_dir: str, prefix: str = ""):
@@ -273,13 +574,14 @@ def _chunk_builder(chunks_dir: str, prefix: str = ""):
                 ]
             ),
         )
-        pq.write_table(table, tmp, compression="zstd")
+        pq.write_table(table, tmp, compression=CHUNK_COMPRESSION)
         os.replace(tmp, path)
         manifest = {
             "partition_id": part_id,
             "status": "done",
             "rows": int(len(pdf)),
             "n_terms": int(len(terms)),
+            "sum_dl": int(dls.sum()),
             "wall_ms": int((time.time() - t0) * 1000),
             "attempt": 1,
         }
@@ -377,13 +679,16 @@ def _chunk_builder_tf(chunks_dir: str, prefix: str = ""):
                 ]
             ),
         )
-        pq.write_table(table, tmp, compression="zstd")
+        pq.write_table(table, tmp, compression=CHUNK_COMPRESSION)
         os.replace(tmp, path)
         manifest = {
             "partition_id": part_id,
             "status": "done",
             "rows": n_rows_docs,
             "n_terms": int(len(starts)),
+            "sum_dl": int(
+                pdf[["doc_id", "dl"]].drop_duplicates("doc_id")["dl"].sum()
+            ),
             "wall_ms": int((time.time() - t0) * 1000),
             "attempt": 1,
         }
@@ -410,27 +715,33 @@ def build_chunks(
     ``part_id = xxhash64(conv_id) % n_partitions`` is a pure function of the
     data, so a resumed run regenerates exactly the missing partitions.
 
-    Two equivalent kernels (tests assert identical output):
+    Three equivalent kernels (tests assert identical output):
 
-    - ``tokenizer="jvm"`` (default): ``lower`` + ``regexp_extract_all`` +
-      ``explode`` + ``groupBy(doc, term)`` run inside whole-stage codegen;
-      the pandas kernel only slices and varbyte-encodes. Python never sees
-      a token — this is the path that scales with cores.
-    - ``tokenizer="python"``: the canonical Python analyzer inside the
-      kernel (the pandas/Arrow-UDF spelling; same tokens by construction,
-      proven by tests/test_algebra.py).
+    - ``tokenizer="pandas"`` (default): tokenize + tf-count + encode all
+      inside the Arrow batch (C regex, factorize/unique) — the ONLY shuffle
+      is the docs rows into part_id groups. Measured fastest and the best
+      thread-scaler: the jvm path shuffles the exploded token stream (~50×
+      the corpus in (doc,term,tf) rows) and its hash-agg dominates GC.
+    - ``tokenizer="jvm"``: ``lower`` + ``regexp_extract_all`` + ``explode``
+      + ``groupBy(doc, term)`` inside whole-stage codegen; the pandas kernel
+      only slices and varbyte-encodes.
+    - ``tokenizer="python"``: per-token Python dicts inside the kernel (the
+      naive pandas-UDF spelling; kept as a cross-check).
     """
     part = F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions)).cast("int")
     done = completed_partitions(chunks_dir, prefix) if resume else set()
 
-    if tokenizer == "python":
+    if tokenizer in ("python", "pandas"):
         src = docs.select(
             "doc_id", "conv_id", "text", "dl", part.alias("part_id")
         )
         if done:
             src = src.where(~F.col("part_id").isin([int(x) for x in done]))
+        kernel = (
+            _chunk_builder_pandas if tokenizer == "pandas" else _chunk_builder
+        )
         return src.groupBy("part_id").applyInPandas(
-            _chunk_builder(chunks_dir, prefix), schema=MANIFEST_SCHEMA
+            kernel(chunks_dir, prefix), schema=MANIFEST_SCHEMA
         )
 
     toks = docs.select(
@@ -449,6 +760,237 @@ def build_chunks(
     return tf.groupBy("part_id").applyInPandas(
         _chunk_builder_tf(chunks_dir, prefix), schema=MANIFEST_SCHEMA
     )
+
+
+def docs_files(docs_dir: str) -> "list[str]":
+    """Sorted data-file list of a docs store — the SPIMI work list in
+    ``files`` mode. Sorting pins part_id = list index across re-runs (the
+    docs store is immutable once written, so this is a pure function of the
+    build)."""
+    return sorted(
+        os.path.join(docs_dir, f)
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def build_chunks_files(
+    spark: SparkSession,
+    docs_dir: str,
+    chunks_dir: str,
+    resume: bool = True,
+    prefix: str = "",
+) -> DataFrame:
+    """SPIMI pass, shuffle-free: one task per docs-store file.
+
+    The docs store's files are the partition unit (exactly how Spark's own
+    scan planner schedules parquet work); each task opens ITS file with
+    pyarrow directly, so the corpus never moves through a shuffle or an
+    extra JVM→Python Arrow hop. part_id = index in the sorted file list —
+    stable, so resume skips completed files via their manifests. On a real
+    cluster the docs store lives on the shared FS/S3 and this degenerates
+    to the normal "executors read their assigned files" pattern.
+    """
+    files = docs_files(docs_dir)
+    # resume is only sound against the SAME docs layout: pin the work list
+    # in the chunks dir and invalidate stale manifests if it changed
+    names = [os.path.basename(p) for p in files]
+    resume = _pin_worklist(chunks_dir, names, resume, prefix)
+    done = completed_partitions(chunks_dir, prefix) if resume else set()
+    todo = [(i, p) for i, p in enumerate(files) if i not in done]
+    if not todo:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    inner = _chunk_builder_pandas(chunks_dir, prefix)
+
+    def kern(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # one compute thread per task — 32 concurrent tasks × a default
+        # all-cores Arrow pool thrashes (measured 8× kernel-time inflation)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                sub = pq.read_table(
+                    r.path, columns=["doc_id", "text", "dl"]
+                ).to_pandas()
+                if len(sub) == 0:
+                    # an empty docs file (tiny corpus fan-out) still gets a
+                    # manifest so resume sees the partition as complete
+                    yield _write_chunk(
+                        chunks_dir, prefix, int(r.part_id),
+                        dict(_EMPTY_CHUNK_ROWS), 0, 0, time.time(),
+                    )
+                    continue
+                sub["part_id"] = r.part_id
+                yield inner(sub)
+
+    rdd = spark.sparkContext.parallelize(todo, len(todo))
+    flist = spark.createDataFrame(rdd, "part_id int, path string")
+    return flist.mapInPandas(kern, schema=MANIFEST_SCHEMA)
+
+
+def read_manifests(chunks_dir: str, prefix: str = "") -> "list[dict]":
+    """All committed partition manifests (the lineage/metrics sidecars)."""
+    if not os.path.isdir(chunks_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(chunks_dir)):
+        if name.startswith(f"{prefix}part-") and name.endswith(".manifest.json"):
+            with open(os.path.join(chunks_dir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def plan_spans(source_path: str, span_mb: int = 8) -> "list[tuple[str, int, int]]":
+    """Work list for the fused segment build: (file, rg_lo, rg_hi) spans of
+    ~span_mb (uncompressed) bytes. Row groups are parquet's atomic read
+    unit — this is exactly how Spark's own scan planner splits files, done
+    here with pyarrow metadata so each fused task owns a byte-bounded slice
+    of the source. Driver cost: one footer read per file (the same metadata
+    pass any planner pays)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(source_path):
+        files = sorted(
+            os.path.join(source_path, f)
+            for f in os.listdir(source_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [source_path]
+    spans: list[tuple[str, int, int]] = []
+    budget = span_mb << 20
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        lo, acc = 0, 0
+        for g in range(md.num_row_groups):
+            acc += md.row_group(g).total_byte_size
+            if acc >= budget:
+                spans.append((path, lo, g + 1))
+                lo, acc = g + 1, 0
+        if lo < md.num_row_groups:
+            spans.append((path, lo, md.num_row_groups))
+    return spans
+
+
+def _pin_worklist(chunks_dir: str, names: "list[str]", resume: bool,
+                  prefix: str = "") -> bool:
+    """Pin the span/file work list under the chunks dir; returns the
+    effective resume flag (False wipes stale outputs — manifests from a
+    different layout cannot be trusted as span indices)."""
+    os.makedirs(chunks_dir, exist_ok=True)
+    flist_path = os.path.join(chunks_dir, f"{prefix}_filelist.json")
+    if resume:
+        if os.path.exists(flist_path):
+            with open(flist_path) as f:
+                if json.load(f) != names:
+                    resume = False
+        else:
+            resume = False
+    if not resume:
+        for n in os.listdir(chunks_dir):
+            if n.startswith(f"{prefix}part-"):
+                os.remove(os.path.join(chunks_dir, n))
+    tmp = flist_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(names, f)
+    os.replace(tmp, flist_path)
+    return resume
+
+
+def build_segments(
+    spark: SparkSession,
+    source_path: str,
+    index_dir: str,
+    offsets: "pd.Series",
+    resume: bool = True,
+    span_mb: int = 8,
+) -> DataFrame:
+    """Fused segment build — ONE corpus pass writes docs store + SPIMI chunk.
+
+    The Lucene-segment shape: every task owns one source span and flushes a
+    complete mini-segment — the stored-fields file (``docs/part-N.parquet``,
+    written by Arrow C++, which handles string-heavy parquet several times
+    faster than the JVM writer) and the postings chunk — then commits via
+    its manifest (written last, so a crash leaves only complete segments).
+    ``doc_id = conv_offset[conv_id] + turn_idx`` per row (dense-PK fast
+    path), so no shuffle touches the corpus at all.
+
+    ``offsets`` is the conversation-offset table as a pandas Series
+    (conv_id → first doc id), broadcast to every task. Above
+    ``BROADCAST_CONV_LIMIT`` conversations, callers must use the two-pass
+    path (``build_docs`` + ``build_chunks_files``) instead.
+    """
+    paths = IndexPaths(index_dir)
+    spans = plan_spans(source_path, span_mb)
+    names = [f"{os.path.basename(p)}:{lo}-{hi}" for p, lo, hi in spans]
+    resume = _pin_worklist(paths.chunks, names, resume)
+    done = completed_partitions(paths.chunks) if resume else set()
+    todo = [
+        (i, p, lo, hi) for i, (p, lo, hi) in enumerate(spans) if i not in done
+    ]
+    if not todo:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    os.makedirs(paths.docs, exist_ok=True)
+    bc = spark.sparkContext.broadcast(offsets)
+    chunks_dir, docs_dir = paths.chunks, paths.docs
+
+    from ..tokenize import TOKEN_RE
+
+    def kern(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        off = bc.value
+        findall = TOKEN_RE.findall
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                t0 = time.time()
+                part_id = int(r.part_id)
+                pf = pq.ParquetFile(r.path)
+                tbl = pf.read_row_groups(list(range(int(r.lo), int(r.hi))))
+                conv = tbl.column("conv_id").to_pandas()
+                turn = tbl.column("turn_idx").to_numpy().astype(np.int64)
+                doc_ids = conv.map(off).to_numpy(dtype=np.int64) + turn
+                order = np.argsort(doc_ids, kind="stable")
+                doc_ids = doc_ids[order]
+                tbl = tbl.take(order)
+                texts = tbl.column("text").to_pandas()
+                toks = [findall(t.lower()) if t else [] for t in texts]
+                dls = np.fromiter(
+                    (len(x) for x in toks), dtype=np.int64, count=len(toks)
+                )
+                docs_tbl = pa.table(
+                    {
+                        "doc_id": pa.array(doc_ids, pa.int64()),
+                        "conv_id": tbl.column("conv_id"),
+                        "turn_idx": tbl.column("turn_idx"),
+                        "role": tbl.column("role"),
+                        "text": tbl.column("text"),
+                        "tool": tbl.column("tool"),
+                        "ts": tbl.column("ts"),
+                        "dl": pa.array(dls.astype(np.int32), pa.int32()),
+                    }
+                )
+                dpath = os.path.join(docs_dir, f"part-{part_id:05d}.parquet")
+                dtmp = dpath + f".tmp-{os.getpid()}"
+                pq.write_table(docs_tbl, dtmp, compression="snappy")
+                os.replace(dtmp, dpath)
+                rows, n_terms = _spimi_encode(part_id, doc_ids, dls, toks)
+                yield _write_chunk(
+                    chunks_dir, "", part_id, rows, len(doc_ids), n_terms,
+                    t0, sum_dl=int(dls.sum()),
+                )
+
+    rdd = spark.sparkContext.parallelize(todo, len(todo))
+    flist = spark.createDataFrame(
+        rdd, "part_id int, path string, lo int, hi int"
+    )
+    return flist.mapInPandas(kern, schema=MANIFEST_SCHEMA)
 
 
 def _read_chunks(spark: SparkSession, chunks_dir: str, glob: str) -> DataFrame:
@@ -608,9 +1150,30 @@ def build_index(
     n_salts: int = 8,
     heavy_df_threshold: int = 10_000,
     resume: bool = True,
-    tokenizer: str = "jvm",
+    tokenizer: str = "files",
+    input_split_mb: "int | None" = None,
+    source_path: "str | None" = None,
+    span_mb: int = 8,
 ) -> dict:
     """Full snapshot build (reference entry point 1, SURVEY.md §3.1).
+
+    Physical strategies, picked by data shape (same logical output):
+
+    - **fused** (``source_path`` given + dense PK + conversations fit the
+      broadcast limit): ONE corpus pass — each task reads its source span
+      and flushes a complete mini-segment (docs file + SPIMI chunk), Lucene
+      segment-flush style. Corpus stats come from the manifests. The only
+      corpus-wide shuffle in the whole build is the salted compaction merge.
+    - ``tokenizer="files"`` without ``source_path``: two passes (docs store
+      write, then shuffle-free SPIMI over the docs files).
+    - ``tokenizer="pandas"|"jvm"|"python"``: the shuffle-based SPIMI
+      (groupBy(part_id)); also the fallback for non-dense turn_idx.
+
+    ``input_split_mb`` narrows ``spark.sql.files.maxPartitionBytes`` for the
+    docs stage of the two-pass path — needed when the source sits in a few
+    large files and the map-only docs write would otherwise produce too few
+    files for SPIMI / query parallelism (a bench-scale artifact; a 100 TB
+    source has orders of magnitude more files than cores).
 
     Returns a summary dict with stage timings (also appended to the metrics
     table — the analog of the reference's tpq/lag stats, A24).
@@ -618,53 +1181,118 @@ def build_index(
     paths = IndexPaths(index_dir)
     metrics: list[tuple[str, str, float]] = []
 
-    t0 = time.time()
-    docs = build_docs(transcripts)
-    # snappy: the docs store is a full corpus copy — compression CPU would
-    # dominate this stage; the read-heavy postings stay zstd
-    docs.write.mode("overwrite").option("compression", "snappy").parquet(paths.docs)
-    docs = spark.read.parquet(paths.docs)
-    metrics.append(("docs", "wall_s", time.time() - t0))
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    if input_split_mb:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(input_split_mb * 1024 * 1024)
+        )
+    try:
+        fused = False
+        if tokenizer == "files" and source_path:
+            t0 = time.time()
+            offsets = _conv_offsets_driver(transcripts)
+            fused = offsets is not None
+            if fused:
+                metrics.append(("offsets", "wall_s", time.time() - t0))
+                t2 = time.time()
+                manifest = build_segments(
+                    spark, source_path, index_dir, offsets,
+                    resume=resume, span_mb=span_mb,
+                )
+                built = manifest.count()  # action: the fused corpus pass
+                metrics.append(("spimi", "wall_s", time.time() - t2))
+                metrics.append(("spimi", "partitions_built", float(built)))
+                metrics.append(("spimi", "fused", 1.0))
 
-    t1 = time.time()
-    n_docs, avgdl, total_tokens = docs.agg(
-        F.count("*"), F.avg("dl"), F.sum("dl")
-    ).first()
-    avgdl = float(avgdl or 0.0)
-    spark.createDataFrame(
-        [(int(n_docs), avgdl, int(total_tokens or 0))],
-        "n_docs long, avgdl double, total_tokens long",
-    ).write.mode("overwrite").parquet(paths.stats)
-    metrics.append(("stats", "wall_s", time.time() - t1))
+                t1 = time.time()
+                mans = read_manifests(paths.chunks)
+                n_docs = sum(m["rows"] for m in mans)
+                total_tokens = sum(m.get("sum_dl", 0) for m in mans)
+                avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+                spark.createDataFrame(
+                    [(int(n_docs), avgdl, int(total_tokens))],
+                    "n_docs long, avgdl double, total_tokens long",
+                ).write.mode("overwrite").parquet(paths.stats)
+                metrics.append(("stats", "wall_s", time.time() - t1))
 
-    t2 = time.time()
-    manifest = build_chunks(
-        docs, paths.chunks, n_partitions, resume=resume, tokenizer=tokenizer
-    )
-    built = manifest.count()  # action: runs the SPIMI pass
-    metrics.append(("spimi", "wall_s", time.time() - t2))
-    metrics.append(("spimi", "partitions_built", float(built)))
+        if not fused:
+            t0 = time.time()
+            docs_done = os.path.exists(os.path.join(paths.docs, "_SUCCESS"))
+            if resume and docs_done:
+                # a committed docs store is immutable for this build:
+                # resuming must not rewrite it (new file names would orphan
+                # the SPIMI manifests, and the corpus copy is the most
+                # expensive IO stage)
+                pass
+            else:
+                docs = build_docs(transcripts)
+                if tokenizer == "files":
+                    # the docs files are the SPIMI work units: if the source
+                    # splits into fewer than n_partitions scan tasks (tiny
+                    # corpora, or one giant unsplittable file), spend one
+                    # shuffle to fan out — otherwise stay map-only (the
+                    # 100 TB regime: splits ≫ cores)
+                    n_input = transcripts.rdd.getNumPartitions()
+                    if n_input < n_partitions:
+                        docs = docs.repartition(n_partitions, "conv_id")
+                # snappy: the docs store is a full corpus copy — compression
+                # CPU would dominate this stage; read-heavy postings stay zstd
+                docs.write.mode("overwrite").option(
+                    "compression", "snappy"
+                ).parquet(paths.docs)
+            docs = spark.read.parquet(paths.docs)
+            metrics.append(("docs", "wall_s", time.time() - t0))
 
-    t3 = time.time()
-    terms = build_term_stats(spark, paths.chunks, n_buckets)
-    terms.write.mode("overwrite").parquet(paths.terms)
-    terms = spark.read.parquet(paths.terms)
-    metrics.append(("terms", "wall_s", time.time() - t3))
+            t1 = time.time()
+            n_docs, avgdl, total_tokens = docs.agg(
+                F.count("*"), F.avg("dl"), F.sum("dl")
+            ).first()
+            avgdl = float(avgdl or 0.0)
+            spark.createDataFrame(
+                [(int(n_docs), avgdl, int(total_tokens or 0))],
+                "n_docs long, avgdl double, total_tokens long",
+            ).write.mode("overwrite").parquet(paths.stats)
+            metrics.append(("stats", "wall_s", time.time() - t1))
 
-    t4 = time.time()
-    postings = build_postings(
-        spark,
-        paths.chunks,
-        terms,
-        avgdl,
-        n_buckets,
-        n_salts=n_salts,
-        heavy_df_threshold=heavy_df_threshold,
-    )
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(paths.postings)
-    metrics.append(("postings", "wall_s", time.time() - t4))
+            t2 = time.time()
+            if tokenizer == "files":
+                manifest = build_chunks_files(
+                    spark, paths.docs, paths.chunks, resume=resume
+                )
+            else:
+                manifest = build_chunks(
+                    docs, paths.chunks, n_partitions, resume=resume,
+                    tokenizer=tokenizer,
+                )
+            built = manifest.count()  # action: runs the SPIMI pass
+            metrics.append(("spimi", "wall_s", time.time() - t2))
+            metrics.append(("spimi", "partitions_built", float(built)))
+
+        t3 = time.time()
+        terms = build_term_stats(spark, paths.chunks, n_buckets)
+        terms.write.mode("overwrite").parquet(paths.terms)
+        terms = spark.read.parquet(paths.terms)
+        metrics.append(("terms", "wall_s", time.time() - t3))
+
+        t4 = time.time()
+        postings = build_postings(
+            spark,
+            paths.chunks,
+            terms,
+            avgdl,
+            n_buckets,
+            n_salts=n_salts,
+            heavy_df_threshold=heavy_df_threshold,
+        )
+        # each merge task holds whole (bucket, sub, salt) groups, so the
+        # partitionBy write emits straight from the merge — no second
+        # shuffle of the block table
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            paths.postings
+        )
+        metrics.append(("postings", "wall_s", time.time() - t4))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
     meta = {
         "n_buckets": n_buckets,

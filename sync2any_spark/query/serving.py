@@ -35,22 +35,33 @@ BLOCK_COLS = [
 class LocalSearcher:
     def __init__(self, index_dir: str) -> None:
         import pyarrow.dataset as ds
-        import pyarrow.parquet as pq
 
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            self.meta = json.load(f)
-        st = (
-            ds.dataset(os.path.join(index_dir, "stats")).to_table().to_pandas().iloc[0]
+        from ..index.builder import (
+            IndexPaths,
+            deletes_sources,
+            postings_sources,
+            read_index_meta,
         )
+        from .wand import _load_deletes
+
+        self.meta = read_index_meta(index_dir)
+        paths = IndexPaths(index_dir)
+        tv = int(self.meta.get("terms_version", 0))
+        st = ds.dataset(paths.stats_v(tv)).to_table().to_pandas().iloc[0]
         self.n_docs = int(st.n_docs)
         self.avgdl = float(st.avgdl)
-        try:
-            blocks = (
-                ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
-                .to_table(columns=BLOCK_COLS)
-                .to_pandas()
+        pdirs = postings_sources(index_dir, self.meta)
+        if pdirs:
+            blocks = pd.concat(
+                [
+                    ds.dataset(d, partitioning="hive")
+                    .to_table(columns=BLOCK_COLS)
+                    .to_pandas()
+                    for d in pdirs
+                ],
+                ignore_index=True,
             )
-        except Exception:  # all-empty corpus → no postings files
+        else:  # all-empty corpus → no postings files
             blocks = pd.DataFrame({c: [] for c in BLOCK_COLS})
         # term → block-slice index (sorted once; per-query lookup is O(log n))
         blocks = blocks.sort_values(["term", "salt", "min_doc"], kind="stable")
@@ -62,16 +73,11 @@ class LocalSearcher:
             terms[s]: (int(s), int(e))
             for s, e in zip(starts, np.append(starts[1:], len(terms)))
         }
-        self.deleted: set[int] = set()
-        deletes_dir = os.path.join(index_dir, "deletes")
-        if os.path.isdir(deletes_dir) and any(
-            n.endswith(".parquet") for n in os.listdir(deletes_dir)
-        ):
-            dead = ds.dataset(deletes_dir).to_table().to_pandas()
-            self.deleted = set(dead["doc_id"].tolist())
+        # tombstones: sorted int64 array (see wand._load_deletes)
+        self.deleted = _load_deletes(deletes_sources(index_dir, self.meta))
         self._live_df: dict[str, int] | None = None
-        if self.deleted:
-            tdf = ds.dataset(os.path.join(index_dir, "terms")).to_table().to_pandas()
+        if self.deleted.size:
+            tdf = ds.dataset(paths.terms_v(tv)).to_table().to_pandas()
             self._live_df = dict(zip(tdf["term"], tdf["df"].astype(int)))
 
     def _term_blocks(self, term: str) -> "pd.DataFrame | None":
@@ -115,9 +121,10 @@ class LocalSearcher:
             return []
         ids = np.concatenate(ids_all)
         contrib = np.concatenate(contrib_all)
-        if self.deleted:
-            dead = np.fromiter(self.deleted, dtype=np.int64)
-            alive = ~np.isin(ids, dead)
+        if self.deleted.size:
+            from .wand import _alive_mask
+
+            alive = _alive_mask(self.deleted, ids)
             ids, contrib = ids[alive], contrib[alive]
             if ids.size == 0:
                 return []
@@ -155,4 +162,7 @@ class LocalSearcher:
                     for b in blocks
                 )
                 cursors.append(cur)
-        return _bmw_topk(cursors, k, self.avgdl, deleted=self.deleted or None)
+        return _bmw_topk(
+            cursors, k, self.avgdl,
+            deleted=self.deleted if self.deleted.size else None,
+        )

@@ -120,19 +120,37 @@ class _Cursor:
         return self.weight * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def _is_deleted(deleted: "np.ndarray | None", doc: int) -> bool:
+    """Membership in the sorted tombstone array (binary search — the
+    compact live-docs representation; 8 bytes per deleted doc, sharded with
+    the index at scale)."""
+    if deleted is None or deleted.size == 0:
+        return False
+    i = int(np.searchsorted(deleted, doc))
+    return i < deleted.size and int(deleted[i]) == doc
+
+
+def _alive_mask(deleted: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized not-in-sorted-array test (O(n log m), no set / no isin
+    hash build)."""
+    idx = np.searchsorted(deleted, ids)
+    idx_c = np.minimum(idx, deleted.size - 1)
+    return ~((idx < deleted.size) & (deleted[idx_c] == ids))
+
+
 def _bmw_topk(
     cursors: list[_Cursor],
     k: int,
     avgdl: float,
-    deleted: "set[int] | None" = None,
+    deleted: "np.ndarray | None" = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over disjoint posting streams → [(doc_id, score)].
 
     Docs are fully scored in ascending doc order; the heap replaces only on
     strictly-greater score, so ties resolve to the lowest doc_id — the same
     deterministic tie-break the oracle pins (SURVEY.md §7.3). Tombstoned
-    docs (``deleted``) are advanced past without scoring — the Lucene
-    live-docs analog for pre-compaction queries.
+    docs (``deleted``, a SORTED doc-id array) are advanced past without
+    scoring — the Lucene live-docs analog for pre-compaction queries.
     """
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc) — size ≤ k
     theta = 0.0
@@ -174,7 +192,7 @@ def _bmw_topk(
                     target = pivot_doc + 1
                 for c in adv:
                     c.next_geq(target)
-            elif deleted and pivot_doc in deleted:
+            elif _is_deleted(deleted, pivot_doc):
                 for c in live:
                     if not c.exhausted and c.doc == pivot_doc:
                         c.advance()
@@ -204,6 +222,20 @@ def _bmw_topk(
     return [(-nd, s) for s, nd in out]
 
 
+def _load_deletes(dirs: "list[str]") -> np.ndarray:
+    """Union of tombstone tables as one sorted int64 array (pyarrow read —
+    driver-side but never a Spark collect)."""
+    if not dirs:
+        return np.array([], dtype=np.int64)
+    import pyarrow.dataset as ds
+
+    parts = [
+        ds.dataset(d).to_table(columns=["doc_id"])["doc_id"].to_numpy()
+        for d in dirs
+    ]
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
 class IndexSearcher:
     """Query-side handle on an index directory built by index.builder.
 
@@ -218,21 +250,34 @@ class IndexSearcher:
     def __init__(
         self, spark: SparkSession, index_dir: str, cache: bool = False
     ) -> None:
-        import json
+        from ..index.builder import (
+            deletes_sources,
+            docs_sources,
+            postings_sources,
+            read_index_meta,
+            IndexPaths,
+        )
 
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            self.meta = json.load(f)
+        self.meta = read_index_meta(index_dir)
         self.n_buckets = int(self.meta["n_buckets"])
-        # live corpus stats from the stats table (meta.json mirrors the
-        # build-time values; increments rewrite the stats table)
-        st = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+        paths = IndexPaths(index_dir)
+        tv = int(self.meta.get("terms_version", 0))
+        # live corpus stats from the committed stats version (increments
+        # commit a new version atomically via meta.json)
+        st = spark.read.parquet(paths.stats_v(tv)).first()
         self.n_docs = int(st.n_docs)
         self.avgdl = float(st.avgdl)
-        try:
-            self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        except Exception:
+        pdirs = postings_sources(index_dir, self.meta)
+        if pdirs:
+            # each segment dir is its own hive-partitioned table root —
+            # union them (Spark refuses multi-root partition discovery)
+            from functools import reduce
+
+            parts = [spark.read.parquet(d) for d in pdirs]
+            self._postings = reduce(lambda a, b: a.unionByName(b), parts)
+        else:
             # an all-empty corpus writes no postings files — valid index
             from ..index.builder import BLOCK_SCHEMA
 
@@ -244,19 +289,22 @@ class IndexSearcher:
         if cache:
             self._postings = self._postings.select(*self._block_cols, "bucket").cache()
             self._postings.count()  # materialize
-        self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
-        self._docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-        # tombstones (Lucene live-docs analog); empty on a fresh snapshot.
-        # At 10^12 scale this becomes a per-segment bitset / broadcast var —
-        # here a driver set, loaded once.
-        deletes_dir = os.path.join(index_dir, "deletes")
-        self.deleted: set[int] = set()
-        if os.path.isdir(deletes_dir) and any(
-            n.endswith(".parquet") for n in os.listdir(deletes_dir)
-        ):
-            self.deleted = {
-                r.doc_id for r in spark.read.parquet(deletes_dir).collect()
-            }
+        self._terms = spark.read.parquet(paths.terms_v(tv))
+        ddirs = docs_sources(index_dir, self.meta)
+        if ddirs:
+            from functools import reduce
+
+            dparts = [spark.read.parquet(d) for d in ddirs]
+            self._docs = reduce(lambda a, b: a.unionByName(b), dparts)
+        else:
+            from ..index.builder import DOCS_SCHEMA
+
+            self._docs = spark.createDataFrame([], DOCS_SCHEMA)
+        # tombstones (Lucene live-docs analog): a SORTED numpy doc-id array
+        # loaded via pyarrow (no Spark job, no Python set) — 8 bytes per
+        # deleted doc, sharded alongside the index at serving scale;
+        # membership is a binary search
+        self.deleted = _load_deletes(deletes_sources(index_dir, self.meta))
 
     # -- helpers ---------------------------------------------------------
     def _qterms(self, query: str) -> list[str]:
@@ -310,7 +358,10 @@ class IndexSearcher:
                 for b in blocks
             )
             cursors.append(cur)
-        return _bmw_topk(cursors, k, self.avgdl, deleted=self.deleted or None)
+        return _bmw_topk(
+            cursors, k, self.avgdl,
+            deleted=self.deleted if self.deleted.size else None,
+        )
 
     def _vectorized_topk(
         self, pdf, dfs: dict[str, int], k: int
@@ -336,9 +387,8 @@ class IndexSearcher:
             return []
         ids = np.concatenate(ids_all)
         contrib = np.concatenate(contrib_all)
-        if self.deleted:
-            dead = np.fromiter(self.deleted, dtype=np.int64)
-            alive = ~np.isin(ids, dead)
+        if self.deleted.size:
+            alive = _alive_mask(self.deleted, ids)
             ids, contrib = ids[alive], contrib[alive]
             if ids.size == 0:
                 return []
@@ -364,7 +414,7 @@ class IndexSearcher:
         """Exact live df per term: Σ n_docs over blocks on a fresh snapshot
         (no tombstones); from the maintained terms table once increments
         have been applied (it tracks live df exactly)."""
-        if not self.deleted:
+        if self.deleted.size == 0:
             return {t: int(v) for t, v in pdf.groupby("term")["n_docs"].sum().items()}
         terms = [str(t) for t in pdf["term"].unique()]
         rows = self._terms.where(F.col("term").isin(terms)).collect()
@@ -380,7 +430,7 @@ class IndexSearcher:
         if not qterms:
             return empty
         pruned = self._pruned_blocks(qterms)
-        if self.deleted:
+        if self.deleted.size:
             rows = self._terms.where(F.col("term").isin(qterms)).collect()
             dfs = {r.term: int(r.df) for r in rows}
         else:
@@ -395,9 +445,12 @@ class IndexSearcher:
             return empty
         n_docs, avgdl = self.n_docs, self.avgdl
         weights = {t: idf(n_docs, dfs[t]) for t in qterms}
-        dead = np.array(sorted(self.deleted), dtype=np.int64)
+        # tombstones ride a real Spark broadcast (one copy per executor,
+        # not per task closure)
+        dead_bc = spark.sparkContext.broadcast(self.deleted)
 
         def score_blocks(batches):
+            dead = dead_bc.value
             for pdf in batches:
                 outs_d, outs_s = [], []
                 for r in pdf.itertuples(index=False):
@@ -405,7 +458,7 @@ class IndexSearcher:
                     tfs = decode_tfs(r.tfs).astype(np.float64)
                     dls = decode_tfs(r.dls).astype(np.float64)
                     if dead.size:
-                        alive = ~np.isin(ids, dead, assume_unique=False)
+                        alive = _alive_mask(dead, ids)
                         ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
                     if ids.size == 0:
                         continue
@@ -428,14 +481,16 @@ class IndexSearcher:
 
     def fetch(self, hits: list[tuple[int, float]]) -> DataFrame:
         """Resolve winners to their source rows (B8 doc-store get)."""
-        if not hits:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, conv_id string, turn_idx int"
-            )
-        hit_df = self.spark.createDataFrame(
-            [h for h in hits if h[0] not in self.deleted],
-            "doc_id long, score double",
+        empty_schema = (
+            "doc_id long, score double, conv_id string, turn_idx int, "
+            "role string, text string"
         )
+        if not hits:
+            return self.spark.createDataFrame([], empty_schema)
+        live = [h for h in hits if not _is_deleted(self.deleted, h[0])]
+        if not live:
+            return self.spark.createDataFrame([], empty_schema)
+        hit_df = self.spark.createDataFrame(live, "doc_id long, score double")
         return self._docs.join(F.broadcast(hit_df), "doc_id").select(
             "doc_id", "score", "conv_id", "turn_idx", "role", "text"
         )

@@ -27,7 +27,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or cpus
+    # 3× cores: slack for stragglers + room for AQE to coalesce down; a
+    # width equal to the core count gates every shuffle stage on its single
+    # biggest partition (measured as the round-1 local[32] regression)
+    shuffle_partitions = shuffle_partitions or 3 * cpus
 
     # Python workers do NOT inherit the driver's sys.path — only PYTHONPATH.
     # The SPIMI/merge kernels import sync2any_spark inside tasks, so the

@@ -6,21 +6,33 @@ tolerated because upserts are idempotent. Our batch analog follows the
 Lucene segment model:
 
 - an increment batch (transcripts columns + ``op`` I/U/D) is first reduced
-  to its *effective* rows — unchanged upserts and deletes of absent keys
-  drop out, which is exactly what makes re-applying a batch a no-op
-  (idempotence test F4);
+  to its *effective* rows — unchanged upserts (null-safe compare over text,
+  role, tool, ts) and deletes of absent keys drop out, which is exactly what
+  makes re-applying a batch a no-op (idempotence test F4);
 - updates/deletes tombstone the old ``doc_id`` (deletes table = Lucene
   live-docs); inserts/updates append fresh doc ids ABOVE the current max —
   ids are never reused, so all existing postings stay valid;
 - new rows are tokenized into a delta segment (same SPIMI path, prefixed
-  chunk files) whose postings append to the block table: delta doc ids sort
-  strictly after base ids, so every (term, salt) stream stays doc-ordered;
+  chunk files) whose postings land in a segment-owned dir: delta doc ids
+  sort strictly after base ids, so every (term, salt) stream stays
+  doc-ordered;
 - terms/stats tables are maintained *exactly* (old ± added ∓ removed, with
   removed term counts recomputed from the tombstoned rows' stored text), so
   BM25 over the live corpus stays rank-identical to a fresh build — unlike
   Lucene, which lets df drift until merge;
 - ``compact()`` rebuilds the index from the live docs (force-merge analog),
   purging tombstones and re-densifying doc ids.
+
+Crash atomicity (the write-ahead shape the reference gets from ES bulk
+acks + Kafka offset commits, ``extract/KafkaMsgListener.java:312-330``):
+every artifact of segment N — postings_segs/segN, docs_segs/segN,
+deletes_segs/segN, terms_vN, stats_vN — is written with deterministic names
+and ``overwrite`` mode, and readers resolve ONLY through ``meta.json``
+(``segments`` + ``terms_version``). The single atomic ``os.replace`` of
+meta.json is the commit point: a crash anywhere before it leaves the index
+exactly at the previous commit, and a retry of the same batch overwrites
+the orphaned segment artifacts in place (no duplicate postings, no double
+counting — tested by killing the apply before commit).
 """
 
 from __future__ import annotations
@@ -38,13 +50,11 @@ from ..index.builder import (
     build_index,
     build_postings,
     build_term_stats,
+    deletes_sources,
+    docs_sources,
+    read_index_meta,
 )
 from ..query.algebra import SPARK_TOKEN_RE, term_stats
-
-
-def _read_meta(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        return json.load(f)
 
 
 def _write_meta(index_dir: str, meta: dict) -> None:
@@ -54,14 +64,37 @@ def _write_meta(index_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, "meta.json"))
 
 
+def all_docs(spark: SparkSession, index_dir: str, meta: "dict | None" = None) -> DataFrame:
+    """Docs store including tombstoned rows (base + committed segments)."""
+    from ..index.builder import DOCS_SCHEMA
+
+    meta = meta or read_index_meta(index_dir)
+    dirs = docs_sources(index_dir, meta)
+    if not dirs:
+        return spark.createDataFrame([], DOCS_SCHEMA)
+    from functools import reduce
+
+    parts = [spark.read.parquet(d) for d in dirs]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def deleted_ids(spark: SparkSession, index_dir: str, meta: "dict | None" = None) -> "DataFrame | None":
+    meta = meta or read_index_meta(index_dir)
+    dirs = deletes_sources(index_dir, meta)
+    if not dirs:
+        return None
+    from functools import reduce
+
+    parts = [spark.read.parquet(d) for d in dirs]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     """Docs store minus tombstones (the queryable corpus)."""
-    paths = IndexPaths(index_dir)
-    docs = spark.read.parquet(paths.docs)
-    if os.path.isdir(paths.deletes) and any(
-        n.endswith(".parquet") for n in os.listdir(paths.deletes)
-    ):
-        dead = spark.read.parquet(paths.deletes)
+    meta = read_index_meta(index_dir)
+    docs = all_docs(spark, index_dir, meta)
+    dead = deleted_ids(spark, index_dir, meta)
+    if dead is not None:
         docs = docs.join(dead, "doc_id", "left_anti")
     return docs
 
@@ -76,7 +109,7 @@ def apply_increments(
     otherwise be undefined.
     """
     paths = IndexPaths(index_dir)
-    meta = _read_meta(index_dir)
+    meta = read_index_meta(index_dir)
     t0 = time.time()
 
     n_dup = (
@@ -87,18 +120,27 @@ def apply_increments(
 
     live = live_docs(spark, index_dir).select(
         "conv_id", "turn_idx", F.col("doc_id").alias("old_doc_id"),
-        F.col("text").alias("cur_text"),
+        F.col("text").alias("cur_text"), F.col("role").alias("cur_role"),
+        F.col("tool").alias("cur_tool"), F.col("ts").alias("cur_ts"),
     )
     joined = increments.join(live, ["conv_id", "turn_idx"], "left").persist()
 
-    # effective rows (idempotence): D of absent key → no-op; I/U with
-    # unchanged text → no-op (the ES docAsUpsert equivalence check)
+    # effective rows (idempotence): D of absent key → no-op; I/U identical to
+    # the stored row → no-op (the ES docAsUpsert equivalence check). The
+    # compare is null-safe (a NULL text must not silently drop the op) and
+    # covers the non-text columns too: a role/tool/ts-only change is
+    # rank-neutral but must rewrite the doc row or fetch() serves stale data.
+    unchanged = (
+        F.col("cur_text").eqNullSafe(F.col("text"))
+        & F.col("cur_role").eqNullSafe(F.col("role"))
+        & F.col("cur_tool").eqNullSafe(F.col("tool"))
+        & F.col("cur_ts").eqNullSafe(F.col("ts"))
+    )
     deletes_new = joined.where(
         (F.col("op") == "D") & F.col("old_doc_id").isNotNull()
     ).select(F.col("old_doc_id").alias("doc_id"))
     upserts = joined.where(
-        (F.col("op") != "D")
-        & (F.col("old_doc_id").isNull() | (F.col("cur_text") != F.col("text")))
+        (F.col("op") != "D") & (F.col("old_doc_id").isNull() | ~unchanged)
     )
     tombstoned_updates = upserts.where(F.col("old_doc_id").isNotNull()).select(
         F.col("old_doc_id").alias("doc_id")
@@ -112,12 +154,13 @@ def apply_increments(
     # don't funnel through a single-partition window.
     from ..index.builder import assign_doc_ids
 
-    max_doc = spark.read.parquet(paths.docs).agg(F.max("doc_id")).first()[0]
+    max_doc = all_docs(spark, index_dir, meta).agg(F.max("doc_id")).first()[0]
+    next_id = int(max_doc) + 1 if max_doc is not None else 0
     new_docs = (
         assign_doc_ids(
             upserts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
         )
-        .withColumn("doc_id", (F.col("doc_id") + F.lit(int(max_doc) + 1)).cast("long"))
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(next_id)).cast("long"))
         .withColumn(
             "dl",
             F.size(
@@ -132,8 +175,10 @@ def apply_increments(
     if n_tombstones == 0 and n_new == 0:
         return {"tombstones": 0, "new_docs": 0, "segment": None, "wall_s": 0.0}
 
+    segment = int(meta.get("last_segment", 0)) + 1
+
     # --- term/stat deltas (exact live maintenance) -----------------------
-    removed_rows = spark.read.parquet(paths.docs).join(
+    removed_rows = all_docs(spark, index_dir, meta).join(
         all_tombstones, "doc_id", "left_semi"
     )
     removed_stats = term_stats(removed_rows, ["doc_id"]).select(
@@ -142,7 +187,7 @@ def apply_increments(
     added_stats = term_stats(new_docs, ["doc_id"]).select(
         "term", F.col("df").alias("ad_df"), F.col("cf").alias("ad_cf")
     )
-    old_terms = spark.read.parquet(paths.terms)
+    old_terms = spark.read.parquet(paths.terms_v(meta.get("terms_version", 0)))
     from ..index.bucketing import bucket_expr
 
     new_terms = (
@@ -165,10 +210,10 @@ def apply_increments(
         .where(F.col("df") > 0)
         .withColumn("bucket", bucket_expr("term", meta["n_buckets"]))
     )
-    new_terms.write.mode("overwrite").parquet(paths.terms + ".next")
+    new_terms.write.mode("overwrite").parquet(paths.terms_v(segment))
 
     # --- stats (exact) -----------------------------------------------------
-    st = spark.read.parquet(paths.stats).first()
+    st = spark.read.parquet(paths.stats_v(meta.get("terms_version", 0))).first()
     rm = removed_rows.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tok")
     ).first()
@@ -181,13 +226,13 @@ def apply_increments(
     spark.createDataFrame(
         [(n_docs_live, avgdl, total_tokens)],
         "n_docs long, avgdl double, total_tokens long",
-    ).write.mode("overwrite").parquet(paths.stats + ".next")
+    ).write.mode("overwrite").parquet(paths.stats_v(segment))
 
-    # --- delta segment postings -------------------------------------------
-    segment = int(meta.get("last_segment", 0)) + 1
+    # --- delta segment postings (segment-owned dir, overwrite = retry-safe)
     prefix = f"seg{segment:03d}-"
     manifest = build_chunks(
-        new_docs, paths.chunks, meta["n_partitions"], resume=True, prefix=prefix
+        new_docs, paths.chunks, meta["n_partitions"], resume=True, prefix=prefix,
+        tokenizer="pandas",
     )
     manifest.count()
     delta_glob = f"{prefix}part-*.parquet"
@@ -202,22 +247,17 @@ def apply_increments(
         heavy_df_threshold=meta["heavy_df_threshold"],
         glob=delta_glob,
     )
-    delta_blocks.repartition("bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(paths.postings)
+    delta_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        paths.postings_seg(segment)
+    )
 
-    # --- commit point: swap maintained tables, append docs/deletes ---------
-    new_docs.write.mode("append").parquet(paths.docs)
-    all_tombstones.write.mode("append").parquet(paths.deletes)
-    for name in ("terms", "stats"):
-        cur, nxt = getattr(paths, name), getattr(paths, name) + ".next"
-        old = cur + ".old"
-        if os.path.exists(old):
-            import shutil
+    # --- segment docs + tombstones (segment-owned dirs) --------------------
+    new_docs.write.mode("overwrite").parquet(paths.docs_seg(segment))
+    all_tombstones.write.mode("overwrite").parquet(paths.deletes_seg(segment))
 
-            shutil.rmtree(old)
-        os.replace(cur, old)
-        os.replace(nxt, cur)
+    # --- COMMIT: one atomic meta.json replace ------------------------------
+    meta["segments"] = meta.get("segments", []) + [segment]
+    meta["terms_version"] = segment
     meta["last_segment"] = segment
     meta["n_docs"] = n_docs_live
     meta["avgdl"] = avgdl
@@ -246,7 +286,7 @@ def apply_increments(
 def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     """Force-merge analog: rebuild the index from the live corpus. Purges
     tombstones, re-densifies doc ids, restores exact block-max bounds."""
-    meta = _read_meta(index_dir)
+    meta = read_index_meta(index_dir)
     live = live_docs(spark, index_dir).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )

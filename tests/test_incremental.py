@@ -82,7 +82,7 @@ def test_live_view_matches_merge(spark, base, transcripts_sf0001, increments, ap
 def test_search_rank_identical_after_increment(spark, base, applied):
     oracle = _merged_oracle(spark, base)
     searcher = IndexSearcher(spark, base)
-    assert searcher.deleted  # tombstones active
+    assert searcher.deleted.size  # tombstones active
     for q in QUERIES:
         got = searcher.search(q, 10)
         want = oracle.topk(q, 10)
@@ -106,7 +106,7 @@ def test_local_searcher_after_increment(spark, base, applied):
 
     oracle = _merged_oracle(spark, base)
     searcher = LocalSearcher(base)
-    assert searcher.deleted
+    assert searcher.deleted.size
     for q in QUERIES:
         got = searcher.search(q, 10)
         want = oracle.topk(q, 10)
@@ -115,21 +115,72 @@ def test_local_searcher_after_increment(spark, base, applied):
             assert gs == pytest.approx(ws, rel=1e-9), q
 
 
+def _index_state(spark, base):
+    from sync2any_spark.index.builder import IndexPaths, read_index_meta
+    from sync2any_spark.streaming.incremental import all_docs, deleted_ids
+
+    meta = read_index_meta(base)
+    paths = IndexPaths(base)
+    terms = sorted(
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(
+            paths.terms_v(meta.get("terms_version", 0))
+        ).collect()
+    )
+    n_docs = all_docs(spark, base).count()
+    dead = deleted_ids(spark, base)
+    n_dead = dead.count() if dead is not None else 0
+    return terms, n_docs, n_dead, meta.get("segments", [])
+
+
 def test_idempotent_reapply(spark, base, increments, applied):
     """FIXTURES F4: re-applying the same batch must be a complete no-op."""
-    def state():
-        terms = sorted(
-            (r.term, r.df, r.cf)
-            for r in spark.read.parquet(f"{base}/terms").collect()
-        )
-        n_docs = spark.read.parquet(f"{base}/docs").count()
-        n_dead = spark.read.parquet(f"{base}/deletes").count()
-        return terms, n_docs, n_dead
-
-    before = state()
+    before = _index_state(spark, base)
     summary = apply_increments(spark, base, increments)
     assert summary["tombstones"] == 0 and summary["new_docs"] == 0
-    assert state() == before
+    assert _index_state(spark, base) == before
+
+
+def test_crash_mid_apply_then_retry(
+    spark, transcripts_sf0001, increments, tmp_path_factory, monkeypatch
+):
+    """Crash atomicity: kill the apply AFTER all segment artifacts are
+    written but BEFORE the meta.json commit — the index must still read as
+    the previous commit, and a retry of the same batch must converge to the
+    exact same state as a never-crashed apply (no duplicate postings, no
+    double-counted tf/df)."""
+    import sync2any_spark.streaming.incremental as inc_mod
+
+    crashed = str(tmp_path_factory.mktemp("idx_crash"))
+    clean = str(tmp_path_factory.mktemp("idx_clean"))
+    build_index(spark, transcripts_sf0001, crashed, resume=False, **PARAMS)
+    build_index(spark, transcripts_sf0001, clean, resume=False, **PARAMS)
+
+    pre = _index_state(spark, crashed)
+    pre_top = IndexSearcher(spark, crashed).search("ok", 10)
+
+    real_write = inc_mod._write_meta
+
+    def boom(index_dir, meta):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(inc_mod, "_write_meta", boom)
+    with pytest.raises(RuntimeError):
+        apply_increments(spark, crashed, increments)
+    monkeypatch.setattr(inc_mod, "_write_meta", real_write)
+
+    # pre-commit: readers see exactly the previous commit
+    assert _index_state(spark, crashed) == pre
+    assert IndexSearcher(spark, crashed).search("ok", 10) == pre_top
+
+    # retry converges to the clean single-apply state
+    apply_increments(spark, crashed, increments)
+    apply_increments(spark, clean, increments)
+    assert _index_state(spark, crashed) == _index_state(spark, clean)
+    s_crashed = IndexSearcher(spark, crashed)
+    s_clean = IndexSearcher(spark, clean)
+    for q in QUERIES:
+        assert s_crashed.search(q, 10) == s_clean.search(q, 10), q
 
 
 def test_compact_equals_fresh_build(spark, base, applied, tmp_path_factory):
@@ -140,7 +191,7 @@ def test_compact_equals_fresh_build(spark, base, applied, tmp_path_factory):
     key_of = {r.doc_id: (r.conv_id, r.turn_idx) for r in live.itertuples(index=False)}
 
     searcher = IndexSearcher(spark, out)
-    assert not searcher.deleted  # tombstones purged
+    assert searcher.deleted.size == 0  # tombstones purged
     docs_out = spark.read.parquet(f"{out}/docs").toPandas()
     key_of_new = {
         r.doc_id: (r.conv_id, r.turn_idx) for r in docs_out.itertuples(index=False)

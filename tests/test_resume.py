@@ -34,23 +34,58 @@ def _fingerprint(spark, index_dir):
 
 
 def test_resume_equals_single_run(spark, transcripts_sf0001, tmp_path_factory):
+    """files-mode resume: kill after K of N file manifests, re-run, compare."""
+    import os
+
     single = str(tmp_path_factory.mktemp("idx_single"))
     build_index(spark, transcripts_sf0001, single, resume=False, **PARAMS)
 
-    # simulate a crash: only partitions 0..4 of the SPIMI stage completed
+    # simulate a crash mid-SPIMI: full build, then erase chunks of parts >= 5
+    # and every downstream table (they are rebuilt after the chunk stage)
     resumed = str(tmp_path_factory.mktemp("idx_resumed"))
+    build_index(spark, transcripts_sf0001, resumed, resume=False, **PARAMS)
+    chunks_dir = f"{resumed}/chunks"
+    n_total = len(completed_partitions(chunks_dir))
+    for name in os.listdir(chunks_dir):
+        if name.startswith("part-") and int(name.split("-")[1].split(".")[0]) >= 5:
+            os.remove(os.path.join(chunks_dir, name))
+    done = completed_partitions(chunks_dir)
+    assert done == set(range(5))  # genuinely partial
+
+    # re-run the full build with resume=True — must only build the rest
+    summary = build_index(spark, transcripts_sf0001, resumed, resume=True, **PARAMS)
+    assert summary["partitions_built"] == n_total - len(done)
+
+    assert _fingerprint(spark, resumed) == _fingerprint(spark, single)
+
+
+def test_resume_hash_mode_equals_single_run(
+    spark, transcripts_sf0001, tmp_path_factory
+):
+    """shuffle-mode resume (part_id = hash(conv_id) % n): the round-1
+    semantics still hold when a custom tokenizer is requested."""
+    single = str(tmp_path_factory.mktemp("idx_single_h"))
+    build_index(
+        spark, transcripts_sf0001, single, resume=False, tokenizer="pandas",
+        **PARAMS,
+    )
+
+    resumed = str(tmp_path_factory.mktemp("idx_resumed_h"))
     docs = build_docs(transcripts_sf0001)
     partial = docs.where(
         F.pmod(F.xxhash64("conv_id"), F.lit(PARAMS["n_partitions"])) < 5
     )
-    build_chunks(partial, f"{resumed}/chunks", PARAMS["n_partitions"]).count()
+    build_chunks(
+        partial, f"{resumed}/chunks", PARAMS["n_partitions"], tokenizer="pandas"
+    ).count()
     done = completed_partitions(f"{resumed}/chunks")
-    assert 0 < len(done) < PARAMS["n_partitions"]  # genuinely partial
+    assert 0 < len(done) < PARAMS["n_partitions"]
 
-    # re-run the full build with resume=True — must only build the rest
-    summary = build_index(spark, transcripts_sf0001, resumed, resume=True, **PARAMS)
+    summary = build_index(
+        spark, transcripts_sf0001, resumed, resume=True, tokenizer="pandas",
+        **PARAMS,
+    )
     assert summary["partitions_built"] == PARAMS["n_partitions"] - len(done)
-
     assert _fingerprint(spark, resumed) == _fingerprint(spark, single)
 
 
