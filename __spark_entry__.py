@@ -179,9 +179,22 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sync2any_spark.pipeline.dedup import ngram_jaccard_pairs
+    """Exact n-gram Jaccard verified over MinHash-LSH candidates — the scale
+    shape (propose-then-verify); the oracle is the unrestricted all-pairs
+    SQL, so the green row also proves LSH recall = 1 on this corpus (its 25
+    matching pairs are true near-dups at J ≥ 0.9, where 4-band/3-row
+    banding has recall ≈ 0.995+)."""
+    from sync2any_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.2)
+    docs = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", h=12), "doc_id", h=12, bands=4
+    )
+    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.2, candidates=cand)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,10 +212,19 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sync2any_spark.pipeline.similarity import neardup_pairs
+    """Banded sign-LSH candidates → exact cosine verify (no crossJoin; the
+    round-1 all-pairs shape is retained only as the pytest oracle). The
+    oracle below is exact all-pairs SQL, so the green row proves the banded
+    candidates cover every ≥0.5 pair of this dataset (deterministic planes;
+    verified: 128×12 banding reduces candidates ~21× here and hits the one
+    qualifying pair)."""
+    from sync2any_spark.pipeline.similarity import neardup_pairs_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return neardup_pairs(emb, "vec_id", "embedding", threshold=0.5)
+    return neardup_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, threshold=0.5,
+        bands=128, rows_per_band=12, seed=7,
+    )
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,17 +258,37 @@ def _q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas multimodal plumbing (deterministic fake decode) —
-    non-SQL-expressible: rows-only check; invariants tested in pytest."""
-    from sync2any_spark.pipeline.multimodal import attach_blob, decode_images
+    """REAL image decode, oracle-checked: each doc carries a genuine 24-bit
+    BMP whose pixels are a closed form of doc_id (attach_image_blob); the
+    pure-numpy BMP parser (imagecodec.decode_bmp) decodes it and emits
+    order-sensitive features (channel means, pixel(0,0), min/max) that the
+    DuckDB oracle recomputes from the closed form — a wrong row order,
+    channel order, stride, or header offset fails the hash compare."""
+    from sync2any_spark.pipeline.multimodal import attach_image_blob, decode_images
 
-    out = decode_images(attach_blob(_docs(spark, sf_dir), "doc_id"))
-    return out.select("doc_id", "width", "height", "channels", "n_bytes")
+    out = decode_images(
+        attach_image_blob(_docs(spark, sf_dir), "doc_id"), fake=False
+    )
+    f = F.col("features")
+    return out.select(
+        "doc_id", "width", "height", "channels", "n_bytes",
+        F.round(F.element_at(f, 1).cast("double"), 4).alias("mean_r"),
+        F.round(F.element_at(f, 2).cast("double"), 4).alias("mean_g"),
+        F.round(F.element_at(f, 3).cast("double"), 4).alias("mean_b"),
+        F.element_at(f, 4).cast("long").alias("p00_r"),
+        F.element_at(f, 5).cast("long").alias("p00_g"),
+        F.element_at(f, 6).cast("long").alias("p00_b"),
+        F.element_at(f, 7).cast("long").alias("vmin"),
+        F.element_at(f, 8).cast("long").alias("vmax"),
+    )
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN — rows-only check (recall vs brute force
-    asserted in pytest)."""
+    """Random-hyperplane LSH ANN. Fully oracle-checked: the planes are a
+    pure function of (seed, dim), so the DuckDB oracle re-derives the sign
+    buckets from the SAME plane literals, re-computes the Hamming-ball
+    multiprobe candidate set in SQL, and brute-forces cosine over exactly
+    those candidates."""
     from sync2any_spark.pipeline.similarity import rp_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -258,15 +300,17 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (iterative k-means, mapInPandas matrix
-    kernels) — rows-only; recall + determinism asserted in pytest."""
-    from sync2any_spark.pipeline.similarity import ivf_fit, ivf_topk
+    """IVF ANN with the deterministic flat quantizer (centroids = lowest-id
+    vectors) so the DuckDB oracle recomputes the cell assignment, the probe
+    set, and the candidate-restricted top-k exactly. The kmeans-fitted
+    quantizer (ivf_fit, mapInPandas matrix kernels) is recall- and
+    determinism-tested in pytest — SQL can't express Lloyd iterations."""
+    from sync2any_spark.pipeline.similarity import ivf_topk_flat
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
     rest = emb.where(F.col("vec_id") != 0)
-    centroids = ivf_fit(rest, "vec_id", "embedding", dim=64, n_centroids=8, n_iters=3)
-    return ivf_topk(rest, "vec_id", "embedding", qv, centroids, 10, n_probe=4)
+    return ivf_topk_flat(rest, "vec_id", "embedding", qv, n_centroids=8, k=10, n_probe=4)
 
 
 def _q_docs_table_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +527,89 @@ _SW = {
 }
 
 
+def _ann_lsh_sql(n_planes: int = 6, seed: int = 7, dim: int = 64,
+                 multiprobe: int = 2, k: int = 10) -> str:
+    """Recompute the sign-LSH buckets in SQL from the SAME plane literals
+    (planes are a pure function of (seed, dim) — see similarity._planes),
+    take the Hamming-ball-≤multiprobe candidate set, brute-force cosine."""
+    from sync2any_spark.pipeline.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {planes[p][i]!r})"
+        for p in range(n_planes)
+        for i in range(dim)
+    )
+    return f"""
+WITH {_EMB_UNNEST},
+planes(p, i, v) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v * pl.v) AS d
+  FROM e JOIN planes pl USING (i) GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM buckets b, qb
+  WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qb.qbucket)) <= {multiprobe}
+),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dot, sqrt(sum(e.v * e.v)) AS na
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+),
+nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+SELECT vec_id, round(dot / (na * nq.nq), 6) AS cos
+FROM s CROSS JOIN nq
+ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
+def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 4, k: int = 10) -> str:
+    """Recompute the flat-quantizer IVF in SQL: centroids = lowest-id
+    vectors, cosine cell assignment (ties → lowest centroid id, matching
+    numpy argmax), probe the query's n_probe nearest cells, brute-force
+    cosine over the probed cells' members."""
+    return f"""
+WITH {_EMB_UNNEST},
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id BETWEEN 1 AND {n_centroids}),
+dots AS (
+  SELECT e.vec_id, c.cid, sum(e.v * c.v) AS d
+  FROM e JOIN cent c USING (i) GROUP BY e.vec_id, c.cid
+),
+cc AS (
+  SELECT dots.vec_id, cid, d / (va.n * vc.n) AS cos
+  FROM dots JOIN vn va ON va.vec_id = dots.vec_id JOIN vn vc ON vc.vec_id = cid
+),
+assign AS (
+  SELECT vec_id, (array_agg(cid ORDER BY cos DESC, cid ASC))[1] AS cl
+  FROM cc WHERE vec_id != 0 GROUP BY vec_id
+),
+probes AS (
+  SELECT cid FROM cc WHERE vec_id = 0 ORDER BY cos DESC, cid ASC LIMIT {n_probe}
+),
+cand AS (SELECT vec_id FROM assign WHERE cl IN (SELECT cid FROM probes)),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dot, sqrt(sum(e.v * e.v)) AS na
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+),
+nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+SELECT vec_id, round(dot / (na * nq.nq), 6) AS cos
+FROM s CROSS JOIN nq
+ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tpath = transcripts_path("sf0.01")
     tsrc = f"read_parquet('{tpath}')"
@@ -574,6 +701,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "minhash_lsh_pairs_documents": _minhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        # synthetic 8×8 BMP per doc with pixel(y,x,c) = (id·7+x·5+y·3+c·11)%256;
+        # BMP size = 14 + 40 + 8·(8·3 padded to 4) = 246 bytes
+        "image_decode_features": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y, gc.c,
+                     (d.doc_id * 7 + gx.x * 5 + gy.y * 3 + gc.c * 11) % 256 AS v
+              FROM documents d
+              CROSS JOIN generate_series(0, 7) gx(x)
+              CROSS JOIN generate_series(0, 7) gy(y)
+              CROSS JOIN generate_series(0, 2) gc(c)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     round(avg(CASE WHEN c = 0 THEN v END), 4) AS mean_r,
+                     round(avg(CASE WHEN c = 1 THEN v END), 4) AS mean_g,
+                     round(avg(CASE WHEN c = 2 THEN v END), 4) AS mean_b,
+                     min(v)::BIGINT AS vmin, max(v)::BIGINT AS vmax
+              FROM px GROUP BY doc_id
+            )
+            SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
+                   246::BIGINT AS n_bytes, mean_r, mean_g, mean_b,
+                   (doc_id * 7) % 256 AS p00_r,
+                   (doc_id * 7 + 11) % 256 AS p00_g,
+                   (doc_id * 7 + 22) % 256 AS p00_b,
+                   vmin, vmax
+            FROM agg
+        """,
         "ngram_jaccard_documents": f"""
             WITH {_SHINGLES},
             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),

@@ -114,19 +114,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) — exact n-gram Jaccard ≥ threshold via shingle
-    self-join (use after LSH at scale; exact for small corpora)."""
+    """(id_a, id_b, jaccard) — exact n-gram Jaccard ≥ threshold.
+
+    With ``candidates`` (an (id_a, id_b) relation, e.g. from
+    ``lsh_candidate_pairs``) the exact verification touches ONLY candidate
+    pairs: shingles are joined per candidate side, so the work is
+    O(Σ candidate-pair shingles), never the raw shingle self-join. This is
+    the scale shape — MinHash banding proposes, exact Jaccard disposes.
+    Without ``candidates`` the raw self-join runs (kept as the small-corpus
+    / test-oracle form; a boilerplate-heavy corpus makes it quadratic —
+    VERDICT.md What's-wrong #2).
+    """
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if candidates is not None:
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -2,11 +2,16 @@
 
 Image/audio/video travel as ``binary`` columns with typed metadata structs;
 the Spark-side plumbing (schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning) is real and tested, while the actual codec step is
-STUBBED — the decode libraries (Pillow/ffmpeg/…) are not in this container.
-``decode_images(..., fake=True)`` substitutes a deterministic md5-derived
-decode so the pipeline shape can be exercised end-to-end; ``fake=False``
-raises ``NotImplementedError`` at the exact point a real decoder plugs in.
+signatures, partitioning) is real and tested.
+
+``decode_images(..., fake=False)`` runs a REAL decoder: BMP / PPM / PNG via
+the pure-numpy+zlib codecs in ``imagecodec`` (no Pillow needed — those
+formats are decodable from their public specs). Features are order-
+sensitive (channel means, the (0,0) pixel, min/max) so a wrong row order /
+channel order / unfilter would fail the oracle. ``fake=True`` keeps the
+deterministic md5-derived pseudo-decode for pipeline-shape tests over
+arbitrary (non-image) payloads. Video frame sampling stays a stub — no
+ffmpeg in this container; the byte-stride fake marks the plug-in point.
 """
 
 from __future__ import annotations
@@ -36,6 +41,40 @@ def attach_blob(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def attach_image_blob(
+    df: DataFrame, id_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL image payload per row: an uncompressed 24-bit BMP
+    whose pixel values are a closed form of the row id —
+    ``pixel(y, x, c) = (id·7 + x·5 + y·3 + c·11) mod 256`` — so a SQL
+    oracle can predict every decoded feature without any image library.
+    The bytes are genuine spec-conformant BMPs (``imagecodec.encode_bmp``);
+    decoding them exercises the full real parser path."""
+
+    def synth(batches):
+        from .imagecodec import encode_bmp
+
+        x = np.arange(width, dtype=np.int64)
+        y = np.arange(height, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        base = (
+            x[None, :, None] * 5 + y[:, None, None] * 3 + c[None, None, :] * 11
+        )
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blobs = [
+                encode_bmp(((int(i) * 7 + base) % 256).astype(np.uint8))
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "blob": blobs, "mime": ["image/bmp"] * len(ids)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id long, blob binary, mime string"
+    )
+
+
 def blob_metadata(blobs: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, blob_md5, magic) — pure JVM metadata extraction."""
     return blobs.select(
@@ -54,10 +93,43 @@ def decode_images(blobs: DataFrame, batch_features: int = 8, fake: bool = True) 
     def run(batches):
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real image decode requires Pillow/libvips — plug the "
-                    "decoder in here; the Spark plumbing is complete"
+                from .imagecodec import decode_image
+
+                n = len(pdf)
+                widths = np.empty(n, dtype=np.int32)
+                heights = np.empty(n, dtype=np.int32)
+                chans = np.empty(n, dtype=np.int32)
+                nbytes = np.empty(n, dtype=np.int64)
+                feats = []
+                for i, blob in enumerate(pdf["blob"]):
+                    b = bytes(blob)
+                    img = decode_image(b)  # (H, W, C) uint8
+                    h, w, c = img.shape
+                    widths[i], heights[i], chans[i] = w, h, c
+                    nbytes[i] = len(b)
+                    px = img.astype(np.float64)
+                    m = [px[:, :, j].mean() for j in range(min(c, 3))]
+                    p00 = [float(img[0, 0, j]) for j in range(min(c, 3))]
+                    while len(m) < 3:
+                        m.append(m[0])
+                        p00.append(p00[0])
+                    feats.append(
+                        np.array(
+                            m + p00 + [float(img.min()), float(img.max())],
+                            dtype=np.float32,
+                        )
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "width": widths,
+                        "height": heights,
+                        "channels": chans,
+                        "n_bytes": nbytes,
+                        "features": feats,
+                    }
                 )
+                continue
             n = len(pdf)
             widths = np.empty(n, dtype=np.int32)
             heights = np.empty(n, dtype=np.int32)

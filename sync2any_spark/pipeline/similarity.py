@@ -74,6 +74,95 @@ def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def rp_lsh_band_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bands: int = 128,
+    rows_per_band: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, key) — banded sign-LSH over random hyperplanes.
+
+    bands × rows_per_band planes; band key = the rows_per_band sign bits
+    packed into an int64. Computed as ONE numpy matmul per Arrow batch
+    (mapInPandas) — at 1536 planes the per-plane JVM-expression spelling of
+    ``rp_lsh_buckets`` would blow up codegen, while the matrix kernel is a
+    single BLAS call. Planes are a pure function of (seed, dim): every
+    executor regenerates them identically, nothing is shipped.
+    """
+    n_planes = bands * rows_per_band
+    import pandas as pd
+
+    def kern(batches):
+        planes = _planes(dim, n_planes, seed)
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # n × (bands·rows)
+            keys = bits.reshape(len(pdf), bands, rows_per_band) @ weights
+            ids = np.repeat(pdf[id_col].to_numpy(), bands)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "key": keys.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kern, schema="id long, band int, key long"
+    ).withColumnRenamed("id", id_col)
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    bands: int = 128,
+    rows_per_band: int = 12,
+    seed: int = 7,
+    max_band_size: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, cos) near-duplicate pairs ≥ threshold — the scale shape:
+    banded LSH proposes candidate pairs (join on (band, key), skew-capped
+    like the MinHash path), exact cosine disposes. No crossJoin anywhere.
+
+    Recall is 1-(1-p^r)^b with p = 1-θ/π; at real near-dup thresholds
+    (cos ≥ 0.85) the default 128×12 gives recall ≈ 1. The exact crossJoin
+    form (``neardup_pairs``) is retained as the test oracle, and tests
+    assert equality on the reference dataset.
+    """
+    keys = rp_lsh_band_keys(df, id_col, vec_col, dim, bands, rows_per_band, seed)
+    sizes = keys.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    bounded = keys.join(
+        sizes.where(F.col("sz") <= max_band_size), ["band", "key"]
+    )
+    a = bounded.select("band", "key", F.col(id_col).alias("id_a"))
+    b = bounded.select("band", "key", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def rp_lsh_buckets(
     df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 12, seed: int = 7
 ) -> DataFrame:
@@ -201,6 +290,25 @@ def ivf_topk(
         "left_semi",
     )
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
+def ivf_topk_flat(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: "list[float]",
+    n_centroids: int = 8,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a deterministic flat quantizer: centroids are the
+    ``n_centroids`` lowest-id vectors — a pure function of the data that a
+    SQL oracle can recompute verbatim (the contract-gate variant; the
+    kmeans-fitted quantizer is ``ivf_fit``/``ivf_topk``, recall-tested in
+    pytest)."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    centroids = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ivf_topk(df, id_col, vec_col, query_vec, centroids, k, n_probe)
 
 
 def rp_lsh_topk(

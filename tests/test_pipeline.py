@@ -89,6 +89,52 @@ def test_ann_recall_vs_brute_force(embeddings):
     assert recall >= 0.5, (exact, approx)
 
 
+def test_neardup_lsh_equals_exact_crossjoin(embeddings):
+    """The scale-shape pair finder (banded LSH propose → exact verify) must
+    return exactly the all-pairs oracle's result on the reference dataset —
+    the crossJoin form survives only as this test's oracle (VERDICT.md
+    What's-wrong #1)."""
+    from sync2any_spark.pipeline.similarity import neardup_pairs, neardup_pairs_lsh
+
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in neardup_pairs(embeddings, "vec_id", "embedding", 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in neardup_pairs_lsh(
+            embeddings, "vec_id", "embedding", dim=64, threshold=0.5,
+            bands=128, rows_per_band=12, seed=7,
+        ).collect()
+    }
+    assert exact and lsh == exact
+
+
+def test_ngram_jaccard_candidates_equals_unrestricted(documents):
+    """Candidate-verified Jaccard (MinHash-LSH propose) equals the raw
+    self-join on the reference corpus (VERDICT.md What's-wrong #2)."""
+    from sync2any_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    raw = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(documents, "doc_id", threshold=0.2).collect()
+    }
+    cand = lsh_candidate_pairs(
+        minhash_signatures(documents, "doc_id", h=12), "doc_id", h=12, bands=4
+    )
+    verified = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", threshold=0.2, candidates=cand
+        ).collect()
+    }
+    assert raw and verified == raw
+
+
 def test_ann_probes_fewer_rows(embeddings):
     from sync2any_spark.pipeline.similarity import rp_lsh_buckets
 
@@ -150,12 +196,116 @@ def test_multimodal_decode_schema_and_determinism(documents, spark):
     assert (out["width"].values == out2["width"].values).all()
 
 
-def test_multimodal_real_decode_is_stubbed(documents):
+def test_multimodal_real_decode_rejects_non_images(documents):
+    """fake=False is a REAL decoder now: garbage bytes (utf-8 text) must be
+    rejected by magic-byte dispatch, not silently pseudo-decoded."""
     from sync2any_spark.pipeline.multimodal import attach_blob, decode_images
 
     blobs = attach_blob(documents.limit(5), "doc_id")
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="unsupported image magic"):
         decode_images(blobs, fake=False).collect()
+
+
+def _spec_literal_bmp():
+    """2×2 24-bit BMP assembled byte-by-byte from the public spec (NOT via
+    encode_bmp — guards against an encoder/decoder bug cancelling out).
+    Pixels (RGB): (0,0)=(1,2,3) (0,1)=(4,5,6) / (1,0)=(7,8,9) (1,1)=(10,11,12).
+    Rows are bottom-up, BGR, padded to 4 bytes (2·3=6 → stride 8)."""
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    row_bottom = bytes([9, 8, 7, 12, 11, 10, 0, 0])  # y=1: BGR BGR pad
+    row_top = bytes([3, 2, 1, 6, 5, 4, 0, 0])        # y=0
+    return header + info + row_bottom + row_top
+
+
+def test_bmp_decode_spec_literal():
+    import numpy as np
+
+    from sync2any_spark.pipeline.imagecodec import decode_bmp
+
+    img = decode_bmp(_spec_literal_bmp())
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [1, 2, 3]
+    assert img[0, 1].tolist() == [4, 5, 6]
+    assert img[1, 0].tolist() == [7, 8, 9]
+    assert img[1, 1].tolist() == [10, 11, 12]
+    assert img.dtype == np.uint8
+
+
+def test_png_decode_spec_literal():
+    """Hand-assembled PNG (stdlib struct+zlib, filters 0/1/2 on successive
+    scanlines) — validates inflate + unfilter against the public spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sync2any_spark.pipeline.imagecodec import decode_png
+
+    w, h = 3, 3
+    px = (np.arange(w * h * 3) * 7 % 256).astype(np.uint8).reshape(h, w, 3)
+    raw = bytearray()
+    # y0: filter 0 (None); y1: filter 2 (Up); y2: filter 1 (Sub)
+    raw += b"\x00" + px[0].tobytes()
+    raw += b"\x02" + ((px[1].astype(int) - px[0].astype(int)) % 256).astype(
+        np.uint8
+    ).tobytes()
+    line2 = px[2].reshape(-1).astype(int)
+    prev = np.concatenate([[0, 0, 0], line2[:-3]])
+    raw += b"\x01" + ((line2 - prev) % 256).astype(np.uint8).tobytes()
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert img.shape == (h, w, 3)
+    assert (img == px).all()
+
+
+def test_ppm_decode_and_bmp_roundtrip():
+    import numpy as np
+
+    from sync2any_spark.pipeline.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    ppm = b"P6\n7 5\n255\n" + img.tobytes()
+    assert (decode_ppm(ppm) == img).all()
+
+
+def test_real_decode_closed_form(documents, spark):
+    """attach_image_blob → real BMP decode: features match the pixel
+    closed form (the contract-row invariant)."""
+    from sync2any_spark.pipeline.multimodal import attach_image_blob, decode_images
+
+    blobs = attach_image_blob(documents.limit(8), "doc_id")
+    rows = decode_images(blobs, fake=False).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r.width, r.height, r.channels, r.n_bytes) == (8, 8, 3, 246)
+        i = r.doc_id
+        assert int(r.features[3]) == (i * 7) % 256          # pixel(0,0) R
+        assert int(r.features[4]) == (i * 7 + 11) % 256     # pixel(0,0) G
+        exp_mean_r = sum(
+            (i * 7 + x * 5 + y * 3) % 256 for x in range(8) for y in range(8)
+        ) / 64
+        assert abs(r.features[0] - exp_mean_r) < 1e-3
 
 
 def test_frame_sampling(documents):
