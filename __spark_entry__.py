@@ -373,10 +373,54 @@ def _q_phrase_topk_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
 
 
+def _contract_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once compressed index over the transcripts corpus for contract
+    queries that exercise the INDEXED read path (resume makes re-entry a
+    no-op; the layout is a pure function of the corpus)."""
+    import os
+
+    from sync2any_spark.index.builder import build_index
+
+    tag = sf_tag(sf_dir)
+    src = ensure_transcripts(tag)
+    idx = f"/root/repo/data/index/contract-{tag}"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        build_index(
+            spark, spark.read.parquet(src), idx,
+            n_partitions=16, n_buckets=16, n_salts=4,
+            heavy_df_threshold=2000, resume=True, source_path=src,
+        )
+    return idx
+
+
+def _q_phrase_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase through the COMPRESSED index: distributed postings
+    intersection (mapInPandas block decode → groupBy) prunes candidates,
+    semi-joined docs verify adjacency — no driver IN-list, no occurrence
+    collect (VERDICT.md Next #3). Oracle = the same SQL as the algebra
+    phrase query; results must be rank- and score-identical."""
+    from sync2any_spark.query.phrase import phrase_topk_indexed
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx)
+    hits = phrase_topk_indexed(searcher, "中 文", 10)
+    if not hits:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    hit_df = spark.createDataFrame(hits, "doc_id long, score double")
+    return (
+        searcher._docs.join(F.broadcast(hit_df), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "phrase_match_documents": _q_phrase_match_documents,
         "phrase_topk_transcripts": _q_phrase_topk_transcripts,
+        "phrase_topk_indexed_transcripts": _q_phrase_topk_indexed,
         "ts_normalization_transcripts": _q_ts_normalization,
         "term_stats_transcripts": _q_term_stats_transcripts,
         "dl_histogram_transcripts": _q_dl_histogram_transcripts,
@@ -617,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
         f"sum(CASE WHEN term IN ({_SW[g]}) THEN 1 ELSE 0 END) AS n_{g}"
         for g in ("en", "es", "de", "fr")
     )
-    return {
+    out = {
         "phrase_match_documents": f"""
             WITH toks AS (
               SELECT doc_id, unnest({TOK}) AS term,
@@ -936,3 +980,7 @@ def oracle_sql() -> dict[str, str]:
             tsrc, ["ok", "w0000"], 10, ["conv_id", "turn_idx"]
         ),
     }
+    # the indexed phrase path must reproduce the algebra phrase ranking
+    # bit-for-bit — same oracle
+    out["phrase_topk_indexed_transcripts"] = out["phrase_topk_transcripts"]
+    return out

@@ -32,8 +32,9 @@ CPUS_LOW = max(2, CPUS // 4)
 CPUS_BASE = max(1, CPUS // 16)
 # bench corpus = sf tag × MULT conversations: large enough that the build is
 # compute-bound (job-latency fixed costs would otherwise dominate and make
-# any parallelism comparison meaningless)
-MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "4"))
+# any parallelism comparison meaningless), and long enough that a co-tenant
+# stall of a few seconds doesn't dominate the fast-level walls
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
 # repeat each build and take the min wall — single-run noise on this shared
 # virtual machine is ±40%
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -122,13 +123,26 @@ def phase_query(cpus: int, out_path: str) -> None:
     spark = get_spark(f"bench_query_c{cpus}", cpus=cpus, shuffle_partitions=cpus)
     searcher = IndexSearcher(spark, idx, cache=True)
     queries = pq.read_table(ensure_queries()).to_pandas()
-    for q in queries.itertuples(index=False):  # warm pass (cache + allocator)
-        searcher.search(q.query_text, int(q.k))
-    lat: dict[str, float] = {}
-    for q in queries.itertuples(index=False):
-        t0 = time.time()
-        searcher.search(q.query_text, int(q.k))
-        lat[f"q{q.query_id}"] = time.time() - t0
+
+    # min-of-N per query + spread: same-day p99 swung 3.6× between round-1
+    # runs (co-tenant noise) — reporting min isolates the engine's own cost,
+    # and the recorded spread says how much to trust any cross-round delta
+    def measure(fn, repeats: int = 3):
+        for q in queries.itertuples(index=False):  # warm pass
+            fn(q.query_text, int(q.k))
+        best: dict[str, float] = {}
+        worst: dict[str, float] = {}
+        for _ in range(repeats):
+            for q in queries.itertuples(index=False):
+                t0 = time.time()
+                fn(q.query_text, int(q.k))
+                dt = time.time() - t0
+                key = f"q{q.query_id}"
+                best[key] = min(best.get(key, 9e9), dt)
+                worst[key] = max(worst.get(key, 0.0), dt)
+        return best, worst
+
+    lat, lat_max = measure(searcher.search)
 
     # serving tier: RAM-resident postings, no Spark in the query path —
     # the single-node-ES-equivalent latency measurement
@@ -137,16 +151,17 @@ def phase_query(cpus: int, out_path: str) -> None:
     t_load = time.time()
     local = LocalSearcher(idx)
     load_s = time.time() - t_load
-    for q in queries.itertuples(index=False):  # warm pass
-        local.search(q.query_text, int(q.k))
-    lat_local: dict[str, float] = {}
-    for q in queries.itertuples(index=False):
-        t0 = time.time()
-        local.search(q.query_text, int(q.k))
-        lat_local[f"q{q.query_id}"] = time.time() - t0
+    lat_local, lat_local_max = measure(local.search)
 
     with open(out_path, "w") as f:
-        json.dump({"spark": lat, "local": lat_local, "local_load_s": load_s}, f)
+        json.dump(
+            {
+                "spark": lat, "spark_max": lat_max,
+                "local": lat_local, "local_max": lat_local_max,
+                "local_load_s": load_s,
+            },
+            f,
+        )
     spark.stop()
 
 
@@ -179,7 +194,7 @@ def _substrate_ceiling(levels: "list[int]") -> dict:
     return out
 
 
-def _run_phase(phase: str, cpus: int) -> dict:
+def _run_phase(phase: str, cpus: int, core_offset: int = 0) -> dict:
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         out = tf.name
     env = dict(os.environ)
@@ -187,9 +202,13 @@ def _run_phase(phase: str, cpus: int) -> dict:
     # `cpus` cores. local[N] alone only caps task slots — background JVM
     # threads and python workers would still use every core, inflating the
     # low-parallelism baseline and corrupting the N-vs-4N efficiency number.
+    # core_offset rotates WHICH cores per repeat: host co-tenants don't load
+    # all physical cores equally, so min-of-repeats samples several sets.
     cmd = [sys.executable, os.path.abspath(__file__), phase, str(cpus), out]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        total = os.cpu_count() or CPUS
+        start = core_offset % max(1, total - cpus + 1)
+        cmd = ["taskset", "-c", f"{start}-{start + cpus - 1}"] + cmd
     subprocess.run(
         cmd,
         check=True,
@@ -214,19 +233,31 @@ def main() -> None:
     # whereas on a real cluster each extra node brings its own memory bus.
     # The (8, 32) thread-scaling pair is reported alongside with that caveat
     # (substrate microbenchmarks in BENCH.md).
-    def best_build(cpus: int) -> dict:
-        runs = []
-        for _ in range(REPEATS):
-            subprocess.run(["sync"], check=False)
-            time.sleep(3)  # let dirty pages of the previous run flush
-            runs.append(_run_phase("build", cpus))
-        return min(runs, key=lambda r: r["wall_s"])
-
+    #
+    # Repeats are INTERLEAVED (2, 8, 32, 2, 8, 32, …) with rotated core
+    # sets: co-tenant load varies over minutes and across physical cores, so
+    # per-repeat efficiency ratios (adjacent in time) cancel ambient drift
+    # that level-grouped repeats would bake into the ratio of mins.
     substrate_pre = _substrate_ceiling([CPUS_BASE, CPUS_LOW, CPUS])
 
-    base = best_build(CPUS_BASE)
-    low = best_build(CPUS_LOW)
-    high = best_build(CPUS)
+    runs: dict[int, list[dict]] = {CPUS_BASE: [], CPUS_LOW: [], CPUS: []}
+    for i in range(REPEATS):
+        for cpus in (CPUS_BASE, CPUS_LOW, CPUS):
+            subprocess.run(["sync"], check=False)
+            time.sleep(3)  # let dirty pages of the previous run flush
+            runs[cpus].append(_run_phase("build", cpus, core_offset=i * cpus))
+
+    base = min(runs[CPUS_BASE], key=lambda r: r["wall_s"])
+    low = min(runs[CPUS_LOW], key=lambda r: r["wall_s"])
+    high = min(runs[CPUS], key=lambda r: r["wall_s"])
+    # per-repeat N→4N efficiency (time-adjacent pairs) — median is the
+    # headline number; the min-wall ratio is reported alongside
+    eff_reps = sorted(
+        (runs[CPUS_BASE][i]["wall_s"] / runs[CPUS_LOW][i]["wall_s"]) / 4
+        for i in range(REPEATS)
+    )
+    eff_median = eff_reps[len(eff_reps) // 2]
+
     # ambient co-tenant bandwidth varies over minutes — bracket the builds
     # with two substrate measurements and average
     substrate_post = _substrate_ceiling([CPUS_BASE, CPUS_LOW, CPUS])
@@ -237,6 +268,14 @@ def main() -> None:
     subprocess.run(["sync"], check=False)
     qres = _run_phase("query", CPUS)
     lat, lat_local = qres["spark"], qres["local"]
+    # spread factor: worst/best per query, 90th percentile across queries —
+    # the noise context any cross-round latency comparison needs
+    def spread(best, worst):
+        r = sorted(worst[k] / max(best[k], 1e-9) for k in best)
+        return r[int(len(r) * 0.9)]
+
+    spark_spread = round(spread(lat, qres["spark_max"]), 2)
+    local_spread = round(spread(lat_local, qres["local_max"]), 2)
 
     n_docs = high["n_docs"]
     thr_base = n_docs / base["wall_s"]
@@ -279,10 +318,12 @@ def main() -> None:
         "turns_per_sec_low": round(thr_low, 1),
         "turns_per_sec_base": round(thr_base, 1),
         "cpus_base": CPUS_BASE,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(eff_median, 3),
+        "scaling_efficiency_per_repeat": [round(x, 3) for x in eff_reps],
+        "scaling_efficiency_minwall": round(eff, 3),
         "indexing_scaling_efficiency": round(eff_indexing, 3) if eff_indexing else None,
         "substrate_dram_scaling_efficiency": round(sub_eff, 3),
-        "scaling_efficiency_normalized": round(eff / sub_eff, 3),
+        "scaling_efficiency_normalized": round(eff_median / sub_eff, 3),
         "thread_scaling_efficiency_8_32": round(eff_threads, 3),
         "stages": {"base": base.get("stages"), "low": low.get("stages"), "high": high.get("stages")},
         "query_p50_ms": round(p50, 2),
@@ -290,6 +331,8 @@ def main() -> None:
         "serving_p50_ms": round(lp50, 2),
         "serving_p99_ms": round(lp99, 2),
         "serving_load_s": round(qres["local_load_s"], 2),
+        "query_noise_p90_worst_over_best": spark_spread,
+        "serving_noise_p90_worst_over_best": local_spread,
     }
     line = json.dumps(result)
 
@@ -302,20 +345,23 @@ def main() -> None:
             f"| local[{CPUS_LOW}] | {low['wall_s']:.1f} | {thr_low:.0f} |\n"
             f"| local[{CPUS}] | {high['wall_s']:.1f} | {thr_high:.0f} |\n\n"
             f"N→4N scaling efficiency local[{CPUS_BASE}]→local[{CPUS_LOW}]: "
-            f"end-to-end **{eff:.3f}**, indexing stages (SPIMI+stats+merge) "
+            f"median of per-repeat time-adjacent pairs **{eff_median:.3f}** "
+            f"(per-repeat: {[round(x, 3) for x in eff_reps]}; min-wall ratio "
+            f"{eff:.3f}), indexing stages (SPIMI+stats+merge, min walls) "
             f"**{eff_indexing:.3f}** (target ≥ 0.8 per BASELINE.json; this pair stays "
             f"inside the box's memory-bandwidth budget — the per-node-bus "
             f"regime of a real cluster). Substrate DRAM-random ceiling for the "
             f"same pair, measured this run: {sub_eff:.3f} → normalized "
-            f"efficiency **{eff / sub_eff:.3f}** (the job scales as well as "
+            f"efficiency **{eff_median / sub_eff:.3f}** (the job scales as well as "
             f"this host's memory system allows; cluster nodes each add a "
             f"memory bus). Thread-scaling local[{CPUS_LOW}]→"
             f"local[{CPUS}] on the shared bus: {eff_threads:.3f} "
             f"(substrate ceiling ≈ 0.31 for DRAM-random work, see header).\n\n"
-            f"Query latency over {len(lat)} reference queries, warm: "
-            f"Spark scan path p50 {p50:.1f} ms / p99 {p99:.1f} ms; "
-            f"serving tier (RAM-resident, single node) p50 {lp50:.2f} ms / "
-            f"p99 {lp99:.2f} ms\n"
+            f"Query latency over {len(lat)} reference queries, warm, "
+            f"min-of-3 per query: Spark scan path p50 {p50:.1f} ms / p99 "
+            f"{p99:.1f} ms (p90 worst/best spread {spark_spread}×); serving "
+            f"tier (RAM-resident, single node) p50 {lp50:.2f} ms / p99 "
+            f"{lp99:.2f} ms (spread {local_spread}×)\n"
         )
     print(line)
 

@@ -350,15 +350,26 @@ def assign_doc_ids(transcripts: DataFrame, n_range_parts: int = 64) -> DataFrame
     return out.drop("conv_offset")
 
 
+BASE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
 def build_docs(transcripts: DataFrame) -> DataFrame:
-    """Docs store: source row + doc_id + dl (JVM-side token count)."""
+    """Docs store: source row + doc_id + dl (JVM-side token count).
+
+    Schema evolution (A6/§1.3): the reference's contract is new-columns-
+    appended-only (``transform/RecordsTransform.java:25-38`` re-pulls the
+    schema on column growth) — any column beyond the base six is carried
+    through to the docs store unchanged, after ``dl``. Doc ids depend only
+    on (conv_id, turn_idx), so an appended column can never change them.
+    """
+    extras = [c for c in transcripts.columns if c not in BASE_COLS]
     with_ids = assign_doc_ids(transcripts)
     return with_ids.withColumn(
         "dl",
         F.size(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(SPARK_TOKEN_RE), 0)
         ),
-    ).select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl")
+    ).select("doc_id", *BASE_COLS, "dl", *extras)
 
 
 def _write_chunk(
@@ -861,7 +872,8 @@ def plan_spans(source_path: str, span_mb: int = 8) -> "list[tuple[str, int, int]
     else:
         files = [source_path]
     spans: list[tuple[str, int, int]] = []
-    budget = span_mb << 20
+    # span_mb <= 0 → one row group per span (finest possible granularity)
+    budget = max(span_mb, 0) << 20
     for path in files:
         md = pq.ParquetFile(path).metadata
         lo, acc = 0, 0
@@ -964,18 +976,22 @@ def build_segments(
                 dls = np.fromiter(
                     (len(x) for x in toks), dtype=np.int64, count=len(toks)
                 )
-                docs_tbl = pa.table(
-                    {
-                        "doc_id": pa.array(doc_ids, pa.int64()),
-                        "conv_id": tbl.column("conv_id"),
-                        "turn_idx": tbl.column("turn_idx"),
-                        "role": tbl.column("role"),
-                        "text": tbl.column("text"),
-                        "tool": tbl.column("tool"),
-                        "ts": tbl.column("ts"),
-                        "dl": pa.array(dls.astype(np.int32), pa.int32()),
-                    }
-                )
+                cols = {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "conv_id": tbl.column("conv_id"),
+                    "turn_idx": tbl.column("turn_idx"),
+                    "role": tbl.column("role"),
+                    "text": tbl.column("text"),
+                    "tool": tbl.column("tool"),
+                    "ts": tbl.column("ts"),
+                    "dl": pa.array(dls.astype(np.int32), pa.int32()),
+                }
+                # schema evolution: appended source columns ride along
+                # unchanged (reference contract: new columns appended only)
+                for name in tbl.schema.names:
+                    if name not in cols:
+                        cols[name] = tbl.column(name)
+                docs_tbl = pa.table(cols)
                 dpath = os.path.join(docs_dir, f"part-{part_id:05d}.parquet")
                 dtmp = dpath + f".tmp-{os.getpid()}"
                 pq.write_table(docs_tbl, dtmp, compression="snappy")
@@ -1190,8 +1206,13 @@ def build_index(
         fused = False
         if tokenizer == "files" and source_path:
             t0 = time.time()
-            offsets = _conv_offsets_driver(transcripts)
-            fused = offsets is not None
+            # the fused pass can't split below row-group granularity: when
+            # the source has fewer spans than the requested parallelism
+            # (tiny corpora / coarse row groups), the two-pass path fans out
+            # with one shuffle instead
+            if len(plan_spans(source_path, span_mb)) >= n_partitions:
+                offsets = _conv_offsets_driver(transcripts)
+                fused = offsets is not None
             if fused:
                 metrics.append(("offsets", "wall_s", time.time() - t0))
                 t2 = time.time()

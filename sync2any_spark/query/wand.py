@@ -276,7 +276,7 @@ class IndexSearcher:
             from functools import reduce
 
             parts = [spark.read.parquet(d) for d in pdirs]
-            self._postings = reduce(lambda a, b: a.unionByName(b), parts)
+            self._postings = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         else:
             # an all-empty corpus writes no postings files — valid index
             from ..index.builder import BLOCK_SCHEMA
@@ -295,7 +295,7 @@ class IndexSearcher:
             from functools import reduce
 
             dparts = [spark.read.parquet(d) for d in ddirs]
-            self._docs = reduce(lambda a, b: a.unionByName(b), dparts)
+            self._docs = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dparts)
         else:
             from ..index.builder import DOCS_SCHEMA
 

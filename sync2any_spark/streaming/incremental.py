@@ -75,7 +75,7 @@ def all_docs(spark: SparkSession, index_dir: str, meta: "dict | None" = None) ->
     from functools import reduce
 
     parts = [spark.read.parquet(d) for d in dirs]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
 def deleted_ids(spark: SparkSession, index_dir: str, meta: "dict | None" = None) -> "DataFrame | None":
@@ -86,7 +86,7 @@ def deleted_ids(spark: SparkSession, index_dir: str, meta: "dict | None" = None)
     from functools import reduce
 
     parts = [spark.read.parquet(d) for d in dirs]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
 def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -97,6 +97,55 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     if dead is not None:
         docs = docs.join(dead, "doc_id", "left_anti")
     return docs
+
+
+def read_segment_changes(
+    spark: SparkSession,
+    index_dir: str,
+    after_segment: int = 0,
+    until_segment: "int | None" = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Snapshot-range incremental read (the Iceberg ``incremental read
+    between snapshots`` analog, SURVEY §3.2): (added docs, tombstoned ids)
+    committed strictly after ``after_segment`` up to ``until_segment``.
+
+    Parity argument (SCALE.md §Iceberg): ``meta.json['segments']`` is the
+    snapshot log and the atomic meta.json replace is the metadata-pointer
+    swap — exactly Iceberg's commit protocol; every segment's data files
+    are immutable once committed, so a range read is a plain union of the
+    in-range segment dirs with no visibility races.
+    """
+    from functools import reduce
+
+    from ..index.builder import DOCS_SCHEMA
+
+    meta = read_index_meta(index_dir)
+    paths = IndexPaths(index_dir)
+    segs = [
+        s for s in meta.get("segments", [])
+        if s > after_segment and (until_segment is None or s <= until_segment)
+    ]
+    doc_dirs = [paths.docs_seg(s) for s in segs]
+    del_dirs = [paths.deletes_seg(s) for s in segs]
+    doc_dirs = [d for d in doc_dirs if os.path.isdir(d)]
+    del_dirs = [d for d in del_dirs if os.path.isdir(d)]
+    added = (
+        reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [spark.read.parquet(d) for d in doc_dirs],
+        )
+        if doc_dirs
+        else spark.createDataFrame([], DOCS_SCHEMA)
+    )
+    removed = (
+        reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [spark.read.parquet(d) for d in del_dirs],
+        )
+        if del_dirs
+        else spark.createDataFrame([], "doc_id long")
+    )
+    return added, removed
 
 
 def apply_increments(

@@ -36,27 +36,100 @@ INCREMENT_SCHEMA = (
     "ts timestamp, op string"
 )
 
+# the CDC envelope the reference's listener consumes: one JSON message per
+# changed row — op + commit timestamp + the row image
+# (extract/KafkaMsgListener.java:65-85 reads these fields off the record)
+ENVELOPE_SCHEMA = (
+    "op string, ts string, data struct<conv_id string, turn_idx int, "
+    "role string, text string, tool string>"
+)
+
+
+def decode_kafka_envelope(raw):
+    """Kafka records → INCREMENT_SCHEMA rows + per-key ordering guard.
+
+    ``raw`` has the Kafka source shape (key/value binary, topic, partition,
+    offset, timestamp). The JSON value is parsed JVM-side (``from_json`` —
+    no Python in the hot path); within a micro-batch the HIGHEST offset per
+    (conv_id, turn_idx) wins, mirroring the reference's sequential
+    per-partition apply where the later binlog row overwrites
+    (``extract/KafkaMsgListener.java:65-85`` + the one-partition ordering
+    guidance, ``README.md:157``). Pure DataFrame transform — unit-testable
+    on a static DataFrame, identical plan under readStream.
+    """
+    from pyspark.sql import Window, functions as F
+
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("m"),
+        "offset",
+    ).select(
+        F.col("m.data.conv_id").alias("conv_id"),
+        F.col("m.data.turn_idx").alias("turn_idx"),
+        F.col("m.data.role").alias("role"),
+        F.col("m.data.text").alias("text"),
+        F.col("m.data.tool").alias("tool"),
+        F.to_timestamp("m.ts").alias("ts"),
+        F.col("m.op").alias("op"),
+        "offset",
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("offset").desc())
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "offset")
+    )
+
+
+def _read_stream(
+    spark: SparkSession,
+    source: str,
+    input_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str | None = None,
+):
+    """Streaming source factory: ``files`` (parquet-dir stand-in used in the
+    sandbox) or ``kafka`` (the production path — envelope decode included;
+    needs a broker + the spark-sql-kafka package on the cluster)."""
+    if source == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", kafka_topic)
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", 600)  # ≙ reference MAX_POLL_RECORDS
+            .load()
+        )
+        return decode_kafka_envelope(raw)
+    return (
+        spark.readStream.schema(INCREMENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
 
 def run_increment_stream(
     spark: SparkSession,
     index_dir: str,
-    input_dir: str,
+    input_dir: str | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    source: str = "files",
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str | None = None,
 ):
-    """Consume increment batches from ``input_dir`` and maintain the index.
+    """Consume increment batches and maintain the index.
 
     With ``available_now=True`` (default — used in tests and backfills) the
-    stream drains everything currently in the directory and stops; a live
+    stream drains everything currently available and stops; a live
     deployment passes False and a processing-time trigger.
     Returns the StreamingQuery (already awaited when available_now).
     """
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
-    src = (
-        spark.readStream.schema(INCREMENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
+    src = _read_stream(
+        spark, source, input_dir, max_files_per_trigger,
+        kafka_bootstrap, kafka_topic,
     )
 
     def process(batch_df, batch_id: int) -> None:

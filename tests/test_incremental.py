@@ -202,3 +202,42 @@ def test_compact_equals_fresh_build(spark, base, applied, tmp_path_factory):
         assert [g[0] for g in got] == [w[0] for w in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9), q
+
+
+def test_segment_range_reads(spark, transcripts_sf0001, tmp_path_factory):
+    """Snapshot-range incremental read (Iceberg incremental-scan analog):
+    changes strictly after segment N are exactly batch N+1's effect."""
+    import datetime
+
+    from sync2any_spark.streaming.incremental import read_segment_changes
+
+    idx = str(tmp_path_factory.mktemp("idx_range"))
+    build_index(spark, transcripts_sf0001, idx, resume=False, **PARAMS)
+    ts = datetime.datetime(2026, 7, 1)
+    b1 = spark.createDataFrame(
+        [("conv_r1", 0, "user", "range batch one", "", ts, "I")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, op string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("conv_r2", 0, "user", "range batch two", "", ts, "I"),
+            ("conv_r1", 0, "user", "range batch one EDITED", "", ts, "U"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, op string",
+    )
+    s1 = apply_increments(spark, idx, b1)
+    s2 = apply_increments(spark, idx, b2)
+    assert s1["segment"] == 1 and s2["segment"] == 2
+
+    added, removed = read_segment_changes(spark, idx, after_segment=1)
+    texts = sorted(r.text for r in added.collect())
+    assert texts == ["range batch one EDITED", "range batch two"]
+    # the removed set is exactly the doc tombstoned by the U in batch 2
+    dead = [r.doc_id for r in removed.collect()]
+    seg1_doc = added  # noqa: F841  (clarity)
+    b1_added, _ = read_segment_changes(spark, idx, after_segment=0, until_segment=1)
+    assert dead == [r.doc_id for r in b1_added.collect()]
+
+    # full range = union of both batches' additions
+    all_added, _ = read_segment_changes(spark, idx, after_segment=0)
+    assert all_added.count() == 3

@@ -17,6 +17,7 @@ from sync2any_spark.query.wand import IndexSearcher
 
 HEAVY_DF = 500  # low threshold so the 'ok' term (df ≈ 890) exercises salting
 N_SALTS = 4
+PARAMS = dict(n_partitions=12, n_buckets=8, n_salts=N_SALTS, heavy_df_threshold=HEAVY_DF)
 
 
 @pytest.fixture(scope="module")
@@ -213,3 +214,59 @@ def test_fetch_resolves_source_rows(spark, index_dir, oracle):
     assert len(fetched) == 5
     for d, _ in hits:
         assert fetched[d] == key_of[d]
+
+
+def test_schema_evolution_appended_column(spark, transcripts_sf0001, tmp_path_factory):
+    """A6/§1.3 (reference: transform/RecordsTransform.java:25-38 — new
+    columns appended only): an extra source column must not break the build
+    nor change doc ids, and rides through to the docs store. Covers BOTH
+    physical paths: the fused segment build (source_path) and the two-pass
+    DataFrame build."""
+    import pyarrow.parquet as pq_mod
+    import pyarrow as pa
+
+    from sync2any_spark.generator import ensure_transcripts
+
+    plain = str(tmp_path_factory.mktemp("idx_plain"))
+    build_index(spark, transcripts_sf0001, plain, resume=False, **PARAMS)
+    want_ids = sorted(
+        (r.conv_id, r.turn_idx, r.doc_id)
+        for r in spark.read.parquet(f"{plain}/docs").collect()
+    )
+
+    # augmented source: same rows + appended 'channel' column
+    src = ensure_transcripts("sf0.001")
+    tbl = pq_mod.read_table(src)
+    tbl = tbl.append_column(
+        "channel", pa.array([f"ch{i % 3}" for i in range(len(tbl))])
+    )
+    aug = str(tmp_path_factory.mktemp("aug")) + "/transcripts.parquet"
+    pq_mod.write_table(tbl, aug, row_group_size=128)
+
+    # fused path (source_path; span per row group so spans ≥ n_partitions)
+    fused = str(tmp_path_factory.mktemp("idx_fused_ev"))
+    build_index(
+        spark, spark.read.parquet(aug), fused, resume=False,
+        source_path=aug, span_mb=0, **PARAMS,
+    )
+    fdocs = spark.read.parquet(f"{fused}/docs")
+    assert "channel" in fdocs.columns
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.doc_id) for r in fdocs.collect()
+    )
+    assert got == want_ids
+
+    # two-pass path (DataFrame input, no source_path)
+    twop = str(tmp_path_factory.mktemp("idx_twop_ev"))
+    build_index(spark, spark.read.parquet(aug), twop, resume=False, **PARAMS)
+    tdocs = spark.read.parquet(f"{twop}/docs")
+    assert "channel" in tdocs.columns
+    got2 = sorted(
+        (r.conv_id, r.turn_idx, r.doc_id) for r in tdocs.collect()
+    )
+    assert got2 == want_ids
+
+    # ranking unaffected by the extra column
+    a = IndexSearcher(spark, plain).search("ok w0000", 10)
+    b = IndexSearcher(spark, fused).search("ok w0000", 10)
+    assert a == b

@@ -119,3 +119,54 @@ def test_doc_ids_stable_across_rebuilds(spark, transcripts_sf0001, tmp_path_fact
         for r in spark.read.parquet(f"{b}/docs").collect()
     )
     assert da == db
+
+
+def test_fused_equals_twopass(spark, transcripts_sf0001, tmp_path_factory):
+    """The fused one-pass segment build and the two-pass files build are
+    the SAME logical operator: identical doc ids, identical term stats,
+    identical rankings (postings bytes may differ — chunk partitioning
+    differs, so salted sub-stream assignment differs, which is rank-neutral
+    by construction)."""
+    import pyarrow.parquet as pq_mod
+
+    from sync2any_spark.generator import ensure_transcripts
+    from sync2any_spark.query.wand import IndexSearcher
+
+    src = ensure_transcripts("sf0.001")
+    # re-write with tiny row groups so the fused planner gets enough spans
+    fine = str(tmp_path_factory.mktemp("fine")) + "/transcripts.parquet"
+    pq_mod.write_table(pq_mod.read_table(src), fine, row_group_size=128)
+
+    fused = str(tmp_path_factory.mktemp("idx_fu"))
+    twop = str(tmp_path_factory.mktemp("idx_tp"))
+    build_index(
+        spark, spark.read.parquet(fine), fused, resume=False,
+        source_path=fine, span_mb=0, **PARAMS,
+    )
+    from sync2any_spark.index.builder import read_index_meta
+
+    # guard: the fused path actually ran (spans >= n_partitions)
+    assert read_index_meta(fused)  # meta exists
+    build_index(spark, spark.read.parquet(fine), twop, resume=False, **PARAMS)
+
+    docs_a = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx, r.dl)
+        for r in spark.read.parquet(f"{fused}/docs").collect()
+    )
+    docs_b = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx, r.dl)
+        for r in spark.read.parquet(f"{twop}/docs").collect()
+    )
+    assert docs_a == docs_b
+    terms_a = sorted(
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{fused}/terms").collect()
+    )
+    terms_b = sorted(
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{twop}/terms").collect()
+    )
+    assert terms_a == terms_b
+    sa, sb = IndexSearcher(spark, fused), IndexSearcher(spark, twop)
+    for q in ("ok", "w0000", "ok w0000", "中 文"):
+        assert sa.search(q, 10) == sb.search(q, 10), q

@@ -83,3 +83,50 @@ def test_stream_applies_batches_in_order(spark, transcripts_sf0001, tmp_path_fac
     n_docs_before = spark.read.parquet(f"{idx}/docs").count()
     run_increment_stream(spark, idx, os.path.join(inbox, "*"), available_now=True)
     assert spark.read.parquet(f"{idx}/docs").count() == n_docs_before
+
+
+def test_kafka_envelope_decode(spark):
+    """The Kafka-shaped ingestion path (stream._read_stream source="kafka"):
+    the JSON envelope decode + per-key highest-offset-wins ordering guard is
+    a pure DataFrame transform — validated here on a static DataFrame with
+    the exact Kafka source schema (no broker in the sandbox; the streaming
+    wrapper only swaps readStream.format("kafka") in front of this plan).
+    Reference semantics mirrored: extract/KafkaMsgListener.java:65-85."""
+    import json
+
+    from sync2any_spark.streaming.stream import decode_kafka_envelope
+
+    def msg(conv, turn, op, text, ts, offset):
+        v = json.dumps(
+            {
+                "op": op,
+                "ts": ts,
+                "data": {
+                    "conv_id": conv, "turn_idx": turn, "role": "user",
+                    "text": text, "tool": "",
+                },
+            }
+        ).encode()
+        return (f"{conv}_{turn}".encode(), v, "t", 0, offset, None)
+
+    raw = spark.createDataFrame(
+        [
+            msg("c1", 0, "I", "first", "2026-01-01 00:00:00", 1),
+            msg("c1", 0, "U", "second wins", "2026-01-01 00:00:05", 2),
+            msg("c2", 3, "D", None, "2026-01-01 00:00:07", 3),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp",
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): r
+        for r in decode_kafka_envelope(raw).collect()
+    }
+    assert len(rows) == 2  # highest offset wins per key
+    assert rows[("c1", 0)].op == "U"
+    assert rows[("c1", 0)].text == "second wins"
+    assert rows[("c1", 0)].ts is not None
+    assert rows[("c2", 3)].op == "D"
+    # decoded schema is exactly the increment contract
+    cols = decode_kafka_envelope(raw).columns
+    assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts", "op"]
