@@ -384,11 +384,22 @@ def _contract_index(spark: SparkSession, sf_dir: str) -> str:
     tag = sf_tag(sf_dir)
     src = ensure_transcripts(tag)
     idx = f"/root/repo/data/index/contract-{tag}"
-    if not os.path.exists(os.path.join(idx, "meta.json")):
+    meta_path = os.path.join(idx, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            stale = not json.load(f).get("store_positions", False)
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
         build_index(
             spark, spark.read.parquet(src), idx,
             n_partitions=16, n_buckets=16, n_salts=4,
             heavy_df_threshold=2000, resume=True, source_path=src,
+            store_positions=True,
         )
     return idx
 
@@ -416,11 +427,34 @@ def _q_phrase_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_topk_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase from POSITIONAL postings (store_positions=True — the
+    Lucene DOCS_AND_FREQS_AND_POSITIONS option): adjacency verified from
+    decoded positions alone, zero docs-store re-tokenization. Must be rank-
+    and score-identical to the algebra phrase oracle."""
+    from sync2any_spark.query.phrase import phrase_topk_positional
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx)
+    hits = phrase_topk_positional(searcher, "中 文", 10)
+    if not hits:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    hit_df = spark.createDataFrame(hits, "doc_id long, score double")
+    return (
+        searcher._docs.join(F.broadcast(hit_df), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "phrase_match_documents": _q_phrase_match_documents,
         "phrase_topk_transcripts": _q_phrase_topk_transcripts,
         "phrase_topk_indexed_transcripts": _q_phrase_topk_indexed,
+        "phrase_topk_positional_transcripts": _q_phrase_topk_positional,
         "ts_normalization_transcripts": _q_ts_normalization,
         "term_stats_transcripts": _q_term_stats_transcripts,
         "dl_histogram_transcripts": _q_dl_histogram_transcripts,
@@ -980,7 +1014,8 @@ def oracle_sql() -> dict[str, str]:
             tsrc, ["ok", "w0000"], 10, ["conv_id", "turn_idx"]
         ),
     }
-    # the indexed phrase path must reproduce the algebra phrase ranking
-    # bit-for-bit — same oracle
+    # the indexed and positional phrase paths must reproduce the algebra
+    # phrase ranking bit-for-bit — same oracle
     out["phrase_topk_indexed_transcripts"] = out["phrase_topk_transcripts"]
+    out["phrase_topk_positional_transcripts"] = out["phrase_topk_transcripts"]
     return out

@@ -82,6 +82,7 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
+        T.StructField("pos", T.BinaryType()),
     ]
 )
 
@@ -112,6 +113,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("block_max_score", T.DoubleType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_dl", T.IntegerType()),
+        T.StructField("pos", T.BinaryType()),
     ]
 )
 
@@ -397,6 +399,7 @@ def _write_chunk(
                 ("doc_ids", pa.binary()),
                 ("tfs", pa.binary()),
                 ("dls", pa.binary()),
+                ("pos", pa.binary()),
             ]
         ),
     )
@@ -426,18 +429,26 @@ _EMPTY_CHUNK_ROWS = {
     "max_doc": np.array([], dtype=np.int64),
     "n_docs": np.array([], dtype=np.int32),
     "cf": np.array([], dtype=np.int64),
-    "doc_ids": [], "tfs": [], "dls": [],
+    "doc_ids": [], "tfs": [], "dls": [], "pos": [],
 }
 
 
 def _spimi_encode(
-    part_id: int, doc_ids: np.ndarray, dls: np.ndarray, toks: "list[list[str]]"
+    part_id: int,
+    doc_ids: np.ndarray,
+    dls: np.ndarray,
+    toks: "list[list[str]]",
+    store_positions: bool = False,
 ) -> "tuple[dict, int]":
     """(chunk rows dict, n_terms) from per-doc token lists — the vectorized
     SPIMI core: factorize terms to codes, combine ``code * n_rows + row_pos``
-    into one int64 key, one ``np.unique(return_counts)`` yields (term, doc)
-    → tf sorted by (term, doc) — doc ascending within a term because the
-    caller pre-sorts rows by doc_id."""
+    into one int64 key, one stable argsort yields (term, doc) groups sorted
+    by (term, doc) — doc ascending within a term because the caller
+    pre-sorts rows by doc_id, and (when ``store_positions``) in-doc token
+    positions ascending within a posting because the stable sort preserves
+    token order. Positions are the Lucene DOCS_AND_FREQS_AND_POSITIONS
+    index option: off by default (BM25 needs none), on for match_phrase
+    without docs-store re-tokenization."""
     from itertools import chain
 
     n_rows = len(doc_ids)
@@ -448,7 +459,13 @@ def _spimi_encode(
     codes, uniq_terms = pd.factorize(flat, sort=True)
     row_pos = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
     key = codes.astype(np.int64) * n_rows + row_pos
-    uk, tf = np.unique(key, return_counts=True)
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    pchange = np.concatenate(([True], sk[1:] != sk[:-1]))
+    pstarts = np.flatnonzero(pchange)  # posting starts in sorted-token space
+    pends = np.append(pstarts[1:], len(sk))
+    tf = pends - pstarts
+    uk = sk[pstarts]
     t_code = uk // n_rows
     pos = uk % n_rows
     ids = doc_ids[pos]
@@ -459,7 +476,11 @@ def _spimi_encode(
     ends = np.append(starts[1:], len(uk))
     bounds = np.append(starts, len(uk))
 
-    from .codec import encode_doc_id_segments, vb_encode_segments
+    from .codec import (
+        encode_doc_id_segments,
+        encode_positions_segments,
+        vb_encode_segments,
+    )
 
     rows = {
         "term": uniq_terms[t_code[starts]].astype(object),
@@ -472,10 +493,23 @@ def _spimi_encode(
         "tfs": vb_encode_segments(tf.astype(np.int64), bounds),
         "dls": vb_encode_segments(dl_arr, bounds),
     }
+    if store_positions:
+        # in-doc token position of every sorted occurrence
+        doc_start = np.repeat(np.cumsum(lens) - lens, lens)
+        pos_in_doc = (np.arange(flat.size, dtype=np.int64) - doc_start)[order]
+        posting_bounds = np.append(pstarts, len(sk))
+        # term-row segment offsets in sorted-token space
+        seg_bounds = posting_bounds[bounds]
+        rows["pos"] = encode_positions_segments(
+            pos_in_doc, posting_bounds, seg_bounds
+        )
+    else:
+        rows["pos"] = [b""] * len(starts)
     return rows, len(starts)
 
 
-def _chunk_builder_pandas(chunks_dir: str, prefix: str = ""):
+def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
+                          store_positions: bool = False):
     """applyInPandas kernel: tokenize, tf-count, and varbyte-encode entirely
     inside the Arrow batch — C-speed regex + factorize/unique, no per-token
     Python objects beyond one flat list.
@@ -501,7 +535,9 @@ def _chunk_builder_pandas(chunks_dir: str, prefix: str = ""):
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         findall = TOKEN_RE.findall
         toks = [findall(t.lower()) if t else [] for t in pdf["text"]]
-        rows, n_terms = _spimi_encode(part_id, doc_ids, dls, toks)
+        rows, n_terms = _spimi_encode(
+            part_id, doc_ids, dls, toks, store_positions=store_positions
+        )
         return _write_chunk(
             chunks_dir, prefix, part_id, rows, len(pdf), n_terms, t0,
             sum_dl=int(dls.sum()),
@@ -554,6 +590,7 @@ def _chunk_builder(chunks_dir: str, prefix: str = ""):
             "doc_ids": [],
             "tfs": [],
             "dls": [],
+            "pos": [],
         }
         for term in terms:
             ds, tfs, ds_dl = inv[term]
@@ -565,6 +602,7 @@ def _chunk_builder(chunks_dir: str, prefix: str = ""):
             rows["doc_ids"].append(encode_doc_ids(d))
             rows["tfs"].append(encode_tfs(np.asarray(tfs, dtype=np.int64)))
             rows["dls"].append(encode_tfs(np.asarray(ds_dl, dtype=np.int64)))
+            rows["pos"].append(b"")
 
         os.makedirs(chunks_dir, exist_ok=True)
         path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
@@ -669,6 +707,7 @@ def _chunk_builder_tf(chunks_dir: str, prefix: str = ""):
             "doc_ids": enc_ids,
             "tfs": enc_tfs,
             "dls": enc_dls,
+            "pos": [b""] * len(starts),
         }
 
         os.makedirs(chunks_dir, exist_ok=True)
@@ -720,6 +759,7 @@ def build_chunks(
     resume: bool = True,
     prefix: str = "",
     tokenizer: str = "jvm",
+    store_positions: bool = False,
 ) -> DataFrame:
     """SPIMI pass. Returns the manifest DataFrame (one row per partition built).
 
@@ -748,11 +788,14 @@ def build_chunks(
         )
         if done:
             src = src.where(~F.col("part_id").isin([int(x) for x in done]))
-        kernel = (
-            _chunk_builder_pandas if tokenizer == "pandas" else _chunk_builder
-        )
+        if tokenizer == "pandas":
+            kern = _chunk_builder_pandas(
+                chunks_dir, prefix, store_positions=store_positions
+            )
+        else:
+            kern = _chunk_builder(chunks_dir, prefix)
         return src.groupBy("part_id").applyInPandas(
-            kernel(chunks_dir, prefix), schema=MANIFEST_SCHEMA
+            kern, schema=MANIFEST_SCHEMA
         )
 
     toks = docs.select(
@@ -791,6 +834,7 @@ def build_chunks_files(
     chunks_dir: str,
     resume: bool = True,
     prefix: str = "",
+    store_positions: bool = False,
 ) -> DataFrame:
     """SPIMI pass, shuffle-free: one task per docs-store file.
 
@@ -811,7 +855,7 @@ def build_chunks_files(
     todo = [(i, p) for i, p in enumerate(files) if i not in done]
     if not todo:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    inner = _chunk_builder_pandas(chunks_dir, prefix)
+    inner = _chunk_builder_pandas(chunks_dir, prefix, store_positions=store_positions)
 
     def kern(batches):
         import pyarrow as pa
@@ -919,6 +963,7 @@ def build_segments(
     offsets: "pd.Series",
     resume: bool = True,
     span_mb: int = 8,
+    store_positions: bool = False,
 ) -> DataFrame:
     """Fused segment build — ONE corpus pass writes docs store + SPIMI chunk.
 
@@ -996,7 +1041,10 @@ def build_segments(
                 dtmp = dpath + f".tmp-{os.getpid()}"
                 pq.write_table(docs_tbl, dtmp, compression="snappy")
                 os.replace(dtmp, dpath)
-                rows, n_terms = _spimi_encode(part_id, doc_ids, dls, toks)
+                rows, n_terms = _spimi_encode(
+                    part_id, doc_ids, dls, toks,
+                    store_positions=store_positions,
+                )
                 yield _write_chunk(
                     chunks_dir, "", part_id, rows, len(doc_ids), n_terms,
                     t0, sum_dl=int(dls.sum()),
@@ -1032,15 +1080,24 @@ def build_term_stats(
     ).withColumn("bucket", bucket_expr("term", n_buckets))
 
 
-def _reblocker(avgdl: float):
+def _reblocker(avgdl: float, store_positions: bool = False):
     """applyInPandas kernel over one (bucket, sub, salt) group: merge every
     term's chunks into doc-ordered 128-posting blocks with exact block-max
     bounds. Fully vectorized across the whole group: chunks are decoded with
     ONE varbyte pass (segmented cumsum restores absolute doc ids), per-term
     doc order comes from one lexsort, and every block of every term is
-    encoded with ONE segmented varbyte pass per column."""
+    encoded with ONE segmented varbyte pass per column. With
+    ``store_positions`` the per-posting occurrence positions ride along:
+    decoded flat, permuted by the same posting order via a vectorized
+    gather, re-encoded per block (the Lucene .pos analog — kept in its own
+    parquet column so every non-phrase query prunes it away for free)."""
 
-    from .codec import encode_doc_id_segments, vb_decode, vb_encode_segments
+    from .codec import (
+        encode_doc_id_segments,
+        encode_positions_segments,
+        vb_decode,
+        vb_encode_segments,
+    )
 
     def reblock(key, pdf):
         bucket, salt = int(key[0]), int(key[-1])
@@ -1048,7 +1105,7 @@ def _reblocker(avgdl: float):
             "term": [], "bucket": [], "salt": [], "block_id": [],
             "min_doc": [], "max_doc": [], "n_docs": [],
             "doc_ids": [], "tfs": [], "dls": [],
-            "block_max_score": [], "max_tf": [], "min_dl": [],
+            "block_max_score": [], "max_tf": [], "min_dl": [], "pos": [],
         }
         if len(pdf) == 0:
             return pd.DataFrame(empty)
@@ -1073,6 +1130,29 @@ def _reblocker(avgdl: float):
         tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
         term_gid = np.repeat(np.cumsum(tchange) - 1, n_per_chunk)
         order = np.lexsort((ids, term_gid))
+
+        if store_positions:
+            # positions, flat and aligned with the PRE-permutation postings:
+            # decode gaps, restore absolutes with per-posting cumsum resets
+            pgaps = vb_decode(b"".join(pdf["pos"]))
+            ptotal = np.cumsum(pgaps)
+            pb = np.cumsum(tfs)  # posting ends in flat position space
+            pcorr = np.zeros(n, dtype=np.int64)
+            pcorr[1:] = ptotal[pb[:-1] - 1]
+            pos_abs = ptotal - np.repeat(pcorr, tfs)
+            # permute posting GROUPS by `order` (variable-length gather)
+            off_in = pb - tfs
+            lens_out = tfs[order]
+            m = int(lens_out.sum())
+            out_start = np.cumsum(lens_out) - lens_out
+            gather = (
+                np.repeat(off_in[order], lens_out)
+                + np.arange(m, dtype=np.int64)
+                - np.repeat(out_start, lens_out)
+            )
+            pos_perm = pos_abs[gather]
+            posting_bounds_out = np.append(out_start, m)
+
         ids, tfs, dls = ids[order], tfs[order], dls[order]
 
         # value-index bounds per term, then per-128 block bounds per term
@@ -1108,6 +1188,12 @@ def _reblocker(avgdl: float):
             "max_tf": np.maximum.reduceat(tfs, blk_starts).astype(np.int32),
             "min_dl": np.minimum.reduceat(dls, blk_starts).astype(np.int32),
         }
+        if store_positions:
+            out["pos"] = encode_positions_segments(
+                pos_perm, posting_bounds_out, posting_bounds_out[bounds]
+            )
+        else:
+            out["pos"] = [b""] * len(blk_starts)
         return pd.DataFrame(out)
 
     return reblock
@@ -1122,6 +1208,7 @@ def build_postings(
     n_salts: int = 8,
     heavy_df_threshold: int = 10_000,
     glob: str = "part-*.parquet",
+    store_positions: bool = False,
 ) -> DataFrame:
     """Salted compaction merge (B3) → final block table.
 
@@ -1153,7 +1240,7 @@ def build_postings(
         .withColumn("sub", F.pmod(F.xxhash64("term"), F.lit(MERGE_SUBSPLIT)))
     )
     return salted.groupBy("bucket", "sub", "salt").applyInPandas(
-        _reblocker(avgdl), schema=BLOCK_SCHEMA
+        _reblocker(avgdl, store_positions=store_positions), schema=BLOCK_SCHEMA
     )
 
 
@@ -1170,6 +1257,7 @@ def build_index(
     input_split_mb: "int | None" = None,
     source_path: "str | None" = None,
     span_mb: int = 8,
+    store_positions: bool = False,
 ) -> dict:
     """Full snapshot build (reference entry point 1, SURVEY.md §3.1).
 
@@ -1219,6 +1307,7 @@ def build_index(
                 manifest = build_segments(
                     spark, source_path, index_dir, offsets,
                     resume=resume, span_mb=span_mb,
+                    store_positions=store_positions,
                 )
                 built = manifest.count()  # action: the fused corpus pass
                 metrics.append(("spimi", "wall_s", time.time() - t2))
@@ -1278,12 +1367,13 @@ def build_index(
             t2 = time.time()
             if tokenizer == "files":
                 manifest = build_chunks_files(
-                    spark, paths.docs, paths.chunks, resume=resume
+                    spark, paths.docs, paths.chunks, resume=resume,
+                    store_positions=store_positions,
                 )
             else:
                 manifest = build_chunks(
                     docs, paths.chunks, n_partitions, resume=resume,
-                    tokenizer=tokenizer,
+                    tokenizer=tokenizer, store_positions=store_positions,
                 )
             built = manifest.count()  # action: runs the SPIMI pass
             metrics.append(("spimi", "wall_s", time.time() - t2))
@@ -1304,6 +1394,7 @@ def build_index(
             n_buckets,
             n_salts=n_salts,
             heavy_df_threshold=heavy_df_threshold,
+            store_positions=store_positions,
         )
         # each merge task holds whole (bucket, sub, salt) groups, so the
         # partitionBy write emits straight from the merge — no second
@@ -1323,7 +1414,8 @@ def build_index(
         "block_size": BLOCK_SIZE,
         "n_docs": int(n_docs),
         "avgdl": avgdl,
-        "format_version": 1,
+        "store_positions": bool(store_positions),
+        "format_version": 2,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -140,6 +140,41 @@ def decode_block_batch(
     return ids, tfs, dls
 
 
+def encode_positions_segments(
+    positions: np.ndarray, posting_bounds: np.ndarray, seg_bounds: np.ndarray
+) -> "list[bytes]":
+    """Positional-postings encode: ``positions`` is the flat in-doc token
+    positions of every posting's occurrences (ascending within a posting);
+    ``posting_bounds`` marks posting starts (each posting's first position
+    is stored absolute, the rest as gaps — the Lucene .pos shape);
+    ``seg_bounds`` are the output segment offsets (term rows at SPIMI time,
+    blocks at merge time). One vectorized pass; empty-input safe."""
+    p = np.asarray(positions, dtype=np.int64)
+    if p.size == 0:
+        return [b""] * (len(seg_bounds) - 1)
+    gaps = np.empty_like(p)
+    gaps[0] = p[0]
+    gaps[1:] = np.diff(p)
+    starts = np.asarray(posting_bounds[:-1], dtype=np.int64)
+    starts = starts[starts < p.size]
+    gaps[starts] = p[starts]  # absolute at each posting start
+    return vb_encode_segments(gaps, seg_bounds)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions_segments for one buffer: flat absolute
+    positions, segmented per posting by ``tfs`` (occurrence counts)."""
+    counts = np.asarray(tfs, dtype=np.int64)
+    gaps = vb_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    bounds = np.cumsum(counts)
+    total = np.cumsum(gaps)
+    corrections = np.zeros(len(counts), dtype=np.int64)
+    corrections[1:] = total[bounds[:-1] - 1]
+    return total - np.repeat(corrections, counts)
+
+
 def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     """Delta-gap + varbyte encode a strictly-increasing doc-id array."""
     d = np.asarray(doc_ids, dtype=np.int64)

@@ -140,6 +140,133 @@ def phrase_candidates(searcher, uniq: "list[str]") -> DataFrame:
     )
 
 
+def phrase_topk_positional(
+    searcher, phrase: str, k: int = 10
+) -> "list[tuple[int, float]]":
+    """match_phrase from POSITIONAL postings — the ES/Lucene execution: the
+    index stores per-posting occurrence positions (builder
+    ``store_positions=True``, the DOCS_AND_FREQS_AND_POSITIONS index
+    option), so adjacency is verified from decoded positions alone; the
+    docs store is never re-read. The candidate set is bounded by the rarest
+    term's postings, exactly like Lucene's PhraseQuery — this is the path
+    that stays cheap when the phrase is made of common terms and the
+    docs-store re-scan would stop being 'bounded' (VERDICT.md Missing #2).
+
+    Driver-side vectorized (numpy) over the pruned blocks of the phrase's
+    terms — the serving-tier shape; rank/score-identical to the algebra
+    phrase scorer (tested)."""
+    import numpy as np
+
+    from ..index.codec import decode_block_batch, decode_positions
+    from .wand import _alive_mask, idf
+
+    if not searcher.meta.get("store_positions"):
+        raise ValueError(
+            "index was built without positions (store_positions=False) — "
+            "use phrase_topk_indexed (docs-store verification) instead"
+        )
+    terms = tokenize(phrase)
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return []
+    from ..index.bucketing import bucket_of
+
+    buckets = sorted({bucket_of(t, searcher.n_buckets) for t in uniq})
+    pdf = (
+        searcher._postings_full.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+        )
+        .select(*searcher._block_cols, "pos")
+        .toPandas()
+    )
+    if pdf.empty or pdf["term"].nunique() < len(uniq):
+        return []  # some phrase term absent entirely
+
+    # per-term (doc_id, flat positions) — decode blocks, then positions
+    by_term: dict = {}
+    for term, g in pdf.groupby("term"):
+        ids, tfs, dls = decode_block_batch(
+            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
+        )
+        pos = decode_positions(b"".join(g["pos"]), tfs)
+        # salted streams are disjoint by doc: sort postings by doc id and
+        # carry the positions along (variable-length gather)
+        order = np.argsort(ids, kind="stable")
+        off = np.cumsum(tfs) - tfs
+        lens_out = tfs[order]
+        m = int(lens_out.sum())
+        out_start = np.cumsum(lens_out) - lens_out
+        gather = (
+            np.repeat(off[order], lens_out)
+            + np.arange(m, dtype=np.int64)
+            - np.repeat(out_start, lens_out)
+        )
+        by_term[term] = (ids[order], lens_out, pos[gather])
+
+    dfs = searcher._live_dfs(pdf)
+    if any(dfs.get(t, 0) <= 0 for t in uniq):
+        return []
+
+    # candidates = docs containing ALL terms (sorted-array intersections)
+    cand = by_term[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, by_term[t][0], assume_unique=True)]
+    if searcher.deleted.size:
+        cand = cand[_alive_mask(searcher.deleted, cand)]
+    if cand.size == 0:
+        return []
+
+    # adjacency: ptf(doc) = |{p ∈ P_0(doc) : p+j ∈ P_j(doc) ∀j}| — per-doc
+    # position-set intersections over numpy slices (duplicate phrase terms
+    # reuse the same term's positions at their offset, which is exactly the
+    # Lucene semantics)
+    slices: dict = {}
+    for t in uniq:
+        ids_t, tfs_t, pos_t = by_term[t]
+        starts = np.cumsum(tfs_t) - tfs_t
+        idx = np.searchsorted(ids_t, cand)
+        slices[t] = (starts[idx], tfs_t[idx], pos_t)
+
+    ptfs = np.zeros(cand.size, dtype=np.int64)
+    for i in range(cand.size):
+        s0, l0, p0 = slices[terms[0]]
+        match = p0[s0[i] : s0[i] + l0[i]]
+        for j, t in enumerate(terms[1:], start=1):
+            if match.size == 0:
+                break
+            sj, lj, pj = slices[t]
+            nxt = pj[sj[i] : sj[i] + lj[i]]
+            match = match[np.isin(match + j, nxt, assume_unique=True)]
+        ptfs[i] = match.size
+
+    hit = ptfs > 0
+    cand, ptfs = cand[hit], ptfs[hit]
+    if cand.size == 0:
+        return []
+
+    # dl of each candidate: every term's blocks carry per-posting dls —
+    # read them off the first term's doc-sorted stream
+    g0 = pdf[pdf.term == uniq[0]]
+    ids_raw, _tfs_raw, dls_raw = decode_block_batch(
+        g0["doc_ids"], g0["tfs"], g0["dls"], g0["n_docs"].to_numpy()
+    )
+    ord0 = np.argsort(ids_raw, kind="stable")
+    ids_sorted, dls_sorted = ids_raw[ord0], dls_raw[ord0]
+    dl = dls_sorted[np.searchsorted(ids_sorted, cand)].astype(np.float64)
+
+    idf_sum = sum(idf(searcher.n_docs, dfs[t]) for t in uniq)
+    scores = idf_sum * ptfs / (
+        ptfs + K1 * (1.0 - B + B * dl / searcher.avgdl)
+    )
+    if k < scores.size:
+        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        keep = np.flatnonzero(scores >= kth)
+    else:
+        keep = np.arange(scores.size)
+    order = keep[np.lexsort((cand[keep], -scores[keep]))][:k]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
 def phrase_topk_indexed(searcher, phrase: str, k: int = 10) -> "list[tuple[int, float]]":
     """Index-accelerated phrase top-k (IndexSearcher): the postings
     intersection (distributed, see ``phrase_candidates``) prunes to docs

@@ -286,6 +286,10 @@ class IndexSearcher:
             "term", "salt", "block_id", "min_doc", "max_doc",
             "doc_ids", "tfs", "dls", "max_tf", "min_dl", "n_docs",
         ]
+        # positional reads (match_phrase) go through the UNCACHED relation:
+        # the serving cache pins only the scoring columns, so the pos
+        # column stays on disk until a phrase query prunes-and-reads it
+        self._postings_full = self._postings
         if cache:
             self._postings = self._postings.select(*self._block_cols, "bucket").cache()
             self._postings.count()  # materialize

@@ -279,9 +279,10 @@ def apply_increments(
 
     # --- delta segment postings (segment-owned dir, overwrite = retry-safe)
     prefix = f"seg{segment:03d}-"
+    store_pos = bool(meta.get("store_positions", False))
     manifest = build_chunks(
         new_docs, paths.chunks, meta["n_partitions"], resume=True, prefix=prefix,
-        tokenizer="pandas",
+        tokenizer="pandas", store_positions=store_pos,
     )
     manifest.count()
     delta_glob = f"{prefix}part-*.parquet"
@@ -295,6 +296,7 @@ def apply_increments(
         n_salts=meta["n_salts"],
         heavy_df_threshold=meta["heavy_df_threshold"],
         glob=delta_glob,
+        store_positions=store_pos,
     )
     delta_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         paths.postings_seg(segment)
@@ -348,4 +350,5 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         n_salts=meta["n_salts"],
         heavy_df_threshold=meta["heavy_df_threshold"],
         resume=False,
+        store_positions=bool(meta.get("store_positions", False)),
     )

@@ -52,3 +52,34 @@ def test_tfs_roundtrip():
     rng = np.random.default_rng(0)
     tfs = rng.integers(1, 1000, size=1000)
     assert (decode_tfs(encode_tfs(tfs)) == tfs).all()
+
+
+def test_positions_roundtrip():
+    """encode_positions_segments / decode_positions: per-posting absolute
+    reset + gap encoding round-trips across segment layouts."""
+    import numpy as np
+
+    from sync2any_spark.index.codec import (
+        decode_positions,
+        encode_positions_segments,
+    )
+
+    rng = np.random.default_rng(5)
+    # 7 postings with 1..6 occurrences each, ascending positions per posting
+    tfs = rng.integers(1, 7, size=7)
+    pos = np.concatenate(
+        [np.sort(rng.choice(200, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    posting_bounds = np.concatenate(([0], np.cumsum(tfs)))
+    # two segments: postings 0-2 and 3-6
+    seg_bounds = np.array(
+        [0, posting_bounds[3], posting_bounds[-1]], dtype=np.int64
+    )
+    bufs = encode_positions_segments(pos, posting_bounds, seg_bounds)
+    assert len(bufs) == 2
+    got = decode_positions(b"".join(bufs), tfs)
+    assert (got == pos).all()
+    # empty input
+    assert encode_positions_segments(
+        np.array([], dtype=np.int64), np.array([0]), np.array([0, 0])
+    ) == [b""]

@@ -76,3 +76,52 @@ def test_lag_metrics(spark):
     row = ops.lag_metrics(t, indexed_at="2026-01-01 01:00:00").first()
     assert row.n_turns == 2
     assert row.delay_s == pytest.approx(3000.0)
+
+
+def test_rule_registry_fanin_and_ddl_registration(spark):
+    """Multi-table rule registry (reference conf/RuleConfigParser.java:84-96):
+    one config drives N tables via regex; first-match-wins; DDL-time
+    registration of a new table activates the covering rule
+    (extract/KafkaMsgListener.java:106-123)."""
+    from sync2any_spark.pipeline.rules import RuleRegistry, apply_rules, parse_rules
+
+    rules = parse_rules(
+        [
+            {
+                "table_pattern": r"events_\d+",
+                "target": "idx_{table}",
+                "field_filter": ["event_id", "event_type", "value"],
+                "rename": {"event_type": "etype"},
+                "casts": {"value": "double"},
+                "sharding_col": "event_id",
+                "n_shards": 4,
+            },
+            {"table_pattern": r"orders.*", "target": "orders_all"},
+        ]
+    )
+    reg = RuleRegistry(rules)
+
+    ev = spark.createDataFrame(
+        [(1, "CLICK", "3.5", "x"), (2, "VIEW", None, "y")],
+        "event_id long, event_type string, value string, extra string",
+    )
+    orders = spark.createDataFrame([(10, 99.0)], "o_id long, total double")
+    misc = spark.createDataFrame([(1,)], "z long")
+
+    out = apply_rules(reg, {"events_01": ev, "orders_eu": orders, "misc": misc})
+    assert set(out) == {"idx_events_01", "orders_all"}  # misc unmatched
+
+    got = out["idx_events_01"].collect()
+    cols = out["idx_events_01"].columns
+    assert cols == ["event_id", "etype", "value", "route"]  # filter+rename+route
+    by_id = {r.event_id: r for r in got}
+    assert by_id[1].value == 3.5          # cast applied
+    assert by_id[2].value == 0.0          # null→0 numeric coercion (A9)
+    assert by_id[1].route.startswith("idx_events_01_")  # dynamic routing
+
+    # DDL event: a brand-new table matching the regex activates immediately
+    assert reg.register_table("events_02") == "idx_events_02"
+    # and an uncovered table is ignored
+    assert reg.register_table("audit_log") is None
+    # first-match-wins: events_02 resolves to rule 0, not the orders rule
+    assert reg.resolve("events_02").table_pattern == r"events_\d+"

@@ -77,3 +77,103 @@ def test_phrase_indexed_matches_oracle(spark, corpus, phrases, index_dir):
         assert [key_of[g[0]] for g in got] == [key_of[w[0]] for w in want], phrase
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9), phrase
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(spark, transcripts_sf0001, tmp_path_factory):
+    """Index built WITH positional postings (store_positions=True — the
+    DOCS_AND_FREQS_AND_POSITIONS index option)."""
+    d = str(tmp_path_factory.mktemp("idx_phrase_pos"))
+    build_index(
+        spark, transcripts_sf0001, d,
+        n_partitions=8, n_buckets=8, n_salts=4, heavy_df_threshold=500,
+        store_positions=True,
+    )
+    return d
+
+
+def test_phrase_positional_matches_oracle(spark, corpus, phrases, pos_index_dir):
+    """match_phrase from stored positions only — NO docs-store re-read —
+    rank- and score-identical to the Lucene-semantics oracle (closes
+    VERDICT.md Missing #2)."""
+    from sync2any_spark.query.phrase import phrase_topk_positional
+
+    _, oracle, key_of = corpus
+    searcher = IndexSearcher(spark, pos_index_dir)
+    assert searcher.meta["store_positions"] is True
+    for phrase in phrases:
+        got = phrase_topk_positional(searcher, phrase, 10)
+        want = oracle.phrase_topk(phrase, 10)
+        assert [key_of[g[0]] for g in got] == [key_of[w[0]] for w in want], phrase
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), phrase
+
+
+def test_positions_do_not_change_bm25(spark, index_dir, pos_index_dir):
+    """The positional index ranks ordinary BM25 queries identically to the
+    positions-free index (the pos column never enters the scoring path —
+    parquet column pruning keeps it out of the scan)."""
+    a = IndexSearcher(spark, index_dir)
+    b = IndexSearcher(spark, pos_index_dir)
+    for q in ("ok", "w0000", "ok w0000", "中 文", "hot1 hot2"):
+        assert a.search(q, 10) == b.search(q, 10), q
+
+
+def test_positional_index_raises_without_positions(spark, index_dir):
+    from sync2any_spark.query.phrase import phrase_topk_positional
+
+    searcher = IndexSearcher(spark, index_dir)
+    with pytest.raises(ValueError, match="store_positions"):
+        phrase_topk_positional(searcher, "ok w0000", 10)
+
+
+def test_phrase_positional_after_increment(spark, transcripts_sf0001, tmp_path_factory):
+    """Delta segments inherit the positional index option: a phrase touching
+    freshly-appended docs resolves from delta-segment positions."""
+    import datetime
+
+    from sync2any_spark.query.phrase import phrase_topk, phrase_topk_positional
+    from sync2any_spark.streaming.incremental import apply_increments, live_docs
+
+    d = str(tmp_path_factory.mktemp("idx_pos_inc"))
+    build_index(
+        spark, transcripts_sf0001, d,
+        n_partitions=8, n_buckets=8, n_salts=4, heavy_df_threshold=500,
+        store_positions=True,
+    )
+    ts = datetime.datetime(2026, 6, 2)
+    inc = spark.createDataFrame(
+        [
+            ("conv_pp000001", 0, "user", "uniquephrase anchor here", "", ts, "I"),
+            ("conv_pp000001", 1, "user", "another uniquephrase anchor", "", ts, "I"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, op string",
+    )
+    apply_increments(spark, d, inc)
+    searcher = IndexSearcher(spark, d)
+    got = phrase_topk_positional(searcher, "uniquephrase anchor", 10)
+    assert len(got) == 2  # both inserted docs match the phrase
+    # scores agree with the algebra scorer over the live corpus
+    live = live_docs(spark, d)
+    want = {
+        (r.conv_id, r.turn_idx): r.score
+        for r in phrase_topk(
+            live, "uniquephrase anchor", 10, ["conv_id", "turn_idx"]
+        ).collect()
+    }
+    docs = {r.doc_id: (r.conv_id, r.turn_idx)
+            for r in live.select("doc_id", "conv_id", "turn_idx").collect()}
+    for doc_id, score in got:
+        assert score == pytest.approx(want[docs[doc_id]], rel=1e-9)
+
+
+def test_phrase_positional_with_cached_searcher(spark, corpus, pos_index_dir):
+    """cache=True pins only scoring columns; positional phrase must still
+    read pos through the uncached relation."""
+    from sync2any_spark.query.phrase import phrase_topk_positional
+
+    _, oracle, key_of = corpus
+    searcher = IndexSearcher(spark, pos_index_dir, cache=True)
+    got = phrase_topk_positional(searcher, "中 文", 10)
+    want = oracle.phrase_topk("中 文", 10)
+    assert [key_of[g[0]] for g in got] == [key_of[w[0]] for w in want]
