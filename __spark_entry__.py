@@ -142,6 +142,43 @@ def _q_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rules_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven multi-table rule registry (reference RuleConfigParser):
+    one rule config fans over a 2-table catalog; the matched events table
+    gets filter+rename+cast, orders aggregates per rule target. Output =
+    per-target row counts + a checksum column the oracle recomputes."""
+    from sync2any_spark.pipeline.rules import RuleRegistry, apply_rules, parse_rules
+
+    rules = parse_rules(
+        [
+            {
+                "table_pattern": r"events",
+                "target": "idx_{table}",
+                "field_filter": ["event_id", "event_type", "value"],
+                "rename": {"event_type": "etype"},
+                "casts": {"value": "double"},
+            },
+            {"table_pattern": r"orders", "target": "orders_all"},
+        ]
+    )
+    reg = RuleRegistry(rules)
+    tables = {
+        "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "lineitem": spark.read.parquet(f"{sf_dir}/lineitem.parquet"),  # unmatched
+    }
+    out = apply_rules(reg, tables)
+    ev = out["idx_events"].agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("checksum"),
+    ).withColumn("target", F.lit("idx_events"))
+    od = out["orders_all"].agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("checksum"),
+    ).withColumn("target", F.lit("orders_all"))
+    return ev.unionByName(od).select("target", "n_rows", "checksum")
+
+
 def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 row routing, md5-spelled so DuckDB can reproduce the shard fn."""
     t = _transcripts(spark, sf_dir)
@@ -484,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_join_orders": _q_lookup_join,
         "project_rename_cast_events": _q_project_rename_cast,
         "routing_transcripts": _q_routing,
+        "rules_fanin_tables": _q_rules_fanin,
         "bm25_topk_transcripts": _q_bm25_topk_transcripts,
     }
 
@@ -1013,6 +1051,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_transcripts": _bm25_sql(
             tsrc, ["ok", "w0000"], 10, ["conv_id", "turn_idx"]
         ),
+        "rules_fanin_tables": """
+            SELECT 'idx_events' AS target, count(*)::BIGINT AS n_rows,
+                   round(sum(coalesce(value::DOUBLE, 0)), 2) AS checksum
+            FROM events
+            UNION ALL
+            SELECT 'orders_all', count(*)::BIGINT,
+                   round(sum(o_totalprice), 2)
+            FROM orders
+        """,
     }
     # the indexed and positional phrase paths must reproduce the algebra
     # phrase ranking bit-for-bit — same oracle

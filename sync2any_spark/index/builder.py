@@ -1080,10 +1080,21 @@ def build_term_stats(
     ).withColumn("bucket", bucket_expr("term", n_buckets))
 
 
-def _reblocker(avgdl: float, store_positions: bool = False):
-    """applyInPandas kernel over one (bucket, sub, salt) group: merge every
-    term's chunks into doc-ordered 128-posting blocks with exact block-max
-    bounds. Fully vectorized across the whole group: chunks are decoded with
+_EMPTY_BLOCK_ROWS = {
+    "term": [], "bucket": [], "salt": [], "block_id": [],
+    "min_doc": [], "max_doc": [], "n_docs": [],
+    "doc_ids": [], "tfs": [], "dls": [],
+    "block_max_score": [], "max_tf": [], "min_dl": [], "pos": [],
+}
+
+
+def _merge_group(
+    pdf: pd.DataFrame, avgdl: float, bucket: int, salt: int,
+    store_positions: bool = False,
+) -> dict:
+    """Merge one (bucket, sub, salt) group's chunk rows into doc-ordered
+    128-posting blocks with exact block-max bounds — the compaction-merge
+    core. Fully vectorized across the whole group: chunks are decoded with
     ONE varbyte pass (segmented cumsum restores absolute doc ids), per-term
     doc order comes from one lexsort, and every block of every term is
     encoded with ONE segmented varbyte pass per column. With
@@ -1099,16 +1110,9 @@ def _reblocker(avgdl: float, store_positions: bool = False):
         vb_encode_segments,
     )
 
-    def reblock(key, pdf):
-        bucket, salt = int(key[0]), int(key[-1])
-        empty = {
-            "term": [], "bucket": [], "salt": [], "block_id": [],
-            "min_doc": [], "max_doc": [], "n_docs": [],
-            "doc_ids": [], "tfs": [], "dls": [],
-            "block_max_score": [], "max_tf": [], "min_dl": [], "pos": [],
-        }
+    if True:  # keep the original body's indentation
         if len(pdf) == 0:
-            return pd.DataFrame(empty)
+            return dict(_EMPTY_BLOCK_ROWS)
         pdf = pdf.sort_values(["term", "min_doc"], kind="stable")
         n_per_chunk = pdf["n_docs"].to_numpy(dtype=np.int64)
         chunk_bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
@@ -1194,36 +1198,83 @@ def _reblocker(avgdl: float, store_positions: bool = False):
             )
         else:
             out["pos"] = [b""] * len(blk_starts)
-        return pd.DataFrame(out)
+        return out
+
+
+def _reblocker(avgdl: float, store_positions: bool = False):
+    """applyInPandas kernel wrapper around ``_merge_group`` returning block
+    ROWS (the delta-segment path, where the blocks land in a Spark write)."""
+
+    def reblock(key, pdf):
+        return pd.DataFrame(
+            _merge_group(
+                pdf, avgdl, int(key[0]), int(key[-1]),
+                store_positions=store_positions,
+            )
+        )
 
     return reblock
 
 
-def build_postings(
+def _postings_writer(avgdl: float, out_dir: str, store_positions: bool = False):
+    """applyInPandas kernel wrapper around ``_merge_group`` that writes its
+    group's block file DIRECTLY (pyarrow, tmp→rename into the hive layout
+    ``bucket=K/part-<sub>-<salt>.parquet``) and returns one manifest row —
+    the snapshot-build path. This keeps the block table out of the
+    Python→JVM Arrow hop and out of the JVM parquet writer + serial job
+    commit (measured ~25% of the merge stage), the same direct-write shape
+    as the fused segment pass. The caller wipes ``out_dir`` first;
+    deterministic names make retries overwrite in place."""
+
+    def write_group(key, pdf):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        t0 = time.time()
+        bucket, sub, salt = int(key[0]), int(key[1]), int(key[2])
+        out = _merge_group(pdf, avgdl, bucket, salt, store_positions)
+        n_blocks = len(out["term"])
+        if n_blocks:
+            cols = {k: v for k, v in out.items() if k != "bucket"}
+            d = os.path.join(out_dir, f"bucket={bucket}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{sub:03d}-{salt:03d}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(pa.table(cols), tmp, compression="zstd")
+            os.replace(tmp, path)
+        return pd.DataFrame(
+            [{
+                "bucket": bucket, "sub": sub, "salt": salt,
+                "n_blocks": n_blocks,
+                "wall_ms": int((time.time() - t0) * 1000),
+            }]
+        )
+
+    return write_group
+
+
+def _salted_chunks(
     spark: SparkSession,
     chunks_dir: str,
     terms: DataFrame,
-    avgdl: float,
     n_buckets: int,
-    n_salts: int = 8,
-    heavy_df_threshold: int = 10_000,
-    glob: str = "part-*.parquet",
-    store_positions: bool = False,
+    n_salts: int,
+    heavy_df_threshold: int,
+    glob: str,
 ) -> DataFrame:
-    """Salted compaction merge (B3) → final block table.
-
-    Heavy terms (df > threshold) are split into ``n_salts`` sub-streams by
+    """Chunk rows + (bucket, sub, salt) merge-group keys. Heavy terms
+    (df > threshold) split into ``n_salts`` sub-streams by
     ``xxhash64(min_doc)`` so no single merge group holds a stop-word's whole
     posting list; each doc is in exactly one sub-stream, so query-time BM25
-    sums are unaffected (streams of one term just add).
-    """
+    sums are unaffected (streams of one term just add)."""
     from .bucketing import bucket_expr
 
     chunks = _read_chunks(spark, chunks_dir, glob)
     heavy = terms.where(F.col("df") > heavy_df_threshold).select(
         "term", F.lit(True).alias("is_heavy")
     )
-    salted = (
+    return (
         chunks.join(F.broadcast(heavy), "term", "left")
         .withColumn(
             "salt",
@@ -1238,6 +1289,54 @@ def build_postings(
         # parallelism is n_buckets × MERGE_SUBSPLIT, independent of the
         # bucket count chosen for query pruning
         .withColumn("sub", F.pmod(F.xxhash64("term"), F.lit(MERGE_SUBSPLIT)))
+    )
+
+
+def build_postings_direct(
+    spark: SparkSession,
+    chunks_dir: str,
+    terms: DataFrame,
+    avgdl: float,
+    n_buckets: int,
+    out_dir: str,
+    n_salts: int = 8,
+    heavy_df_threshold: int = 10_000,
+    glob: str = "part-*.parquet",
+    store_positions: bool = False,
+) -> int:
+    """Salted compaction merge with DIRECT task-side block writes (snapshot
+    build path): each merge task writes its group's block file into the
+    hive layout itself and returns a manifest row. Returns total blocks."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    salted = _salted_chunks(
+        spark, chunks_dir, terms, n_buckets, n_salts, heavy_df_threshold, glob
+    )
+    manifest = salted.groupBy("bucket", "sub", "salt").applyInPandas(
+        _postings_writer(avgdl, out_dir, store_positions=store_positions),
+        schema="bucket int, sub int, salt int, n_blocks long, wall_ms long",
+    )
+    agg = manifest.agg(F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("nb")).first()
+    return int(agg.nb)
+
+
+def build_postings(
+    spark: SparkSession,
+    chunks_dir: str,
+    terms: DataFrame,
+    avgdl: float,
+    n_buckets: int,
+    n_salts: int = 8,
+    heavy_df_threshold: int = 10_000,
+    glob: str = "part-*.parquet",
+    store_positions: bool = False,
+) -> DataFrame:
+    """Salted compaction merge (B3) → block-table DataFrame (the delta-
+    segment path; the snapshot build uses ``build_postings_direct``)."""
+    salted = _salted_chunks(
+        spark, chunks_dir, terms, n_buckets, n_salts, heavy_df_threshold, glob
     )
     return salted.groupBy("bucket", "sub", "salt").applyInPandas(
         _reblocker(avgdl, store_positions=store_positions), schema=BLOCK_SCHEMA
@@ -1386,23 +1485,23 @@ def build_index(
         metrics.append(("terms", "wall_s", time.time() - t3))
 
         t4 = time.time()
-        postings = build_postings(
+        # each merge task holds whole (bucket, sub, salt) groups and writes
+        # its own block file straight into the hive layout — the block
+        # table never crosses the Python→JVM Arrow boundary and there is no
+        # serial write-job commit
+        n_blocks = build_postings_direct(
             spark,
             paths.chunks,
             terms,
             avgdl,
             n_buckets,
+            paths.postings,
             n_salts=n_salts,
             heavy_df_threshold=heavy_df_threshold,
             store_positions=store_positions,
         )
-        # each merge task holds whole (bucket, sub, salt) groups, so the
-        # partitionBy write emits straight from the merge — no second
-        # shuffle of the block table
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            paths.postings
-        )
         metrics.append(("postings", "wall_s", time.time() - t4))
+        metrics.append(("postings", "n_blocks", float(n_blocks)))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
