@@ -1110,95 +1110,94 @@ def _merge_group(
         vb_encode_segments,
     )
 
-    if True:  # keep the original body's indentation
-        if len(pdf) == 0:
-            return dict(_EMPTY_BLOCK_ROWS)
-        pdf = pdf.sort_values(["term", "min_doc"], kind="stable")
-        n_per_chunk = pdf["n_docs"].to_numpy(dtype=np.int64)
-        chunk_bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
-        chunk_bounds[1:] = np.cumsum(n_per_chunk)
-        n = int(chunk_bounds[-1])
+    if len(pdf) == 0:
+        return dict(_EMPTY_BLOCK_ROWS)
+    pdf = pdf.sort_values(["term", "min_doc"], kind="stable")
+    n_per_chunk = pdf["n_docs"].to_numpy(dtype=np.int64)
+    chunk_bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
+    chunk_bounds[1:] = np.cumsum(n_per_chunk)
+    n = int(chunk_bounds[-1])
 
-        # batched decode: gaps of all chunks in one pass, then segmented
-        # cumsum (each chunk's first gap is its absolute doc id)
-        gaps = vb_decode(b"".join(pdf["doc_ids"]))
-        total = np.cumsum(gaps)
-        corrections = np.zeros(len(pdf), dtype=np.int64)
-        corrections[1:] = total[chunk_bounds[1:-1] - 1]
-        ids = total - np.repeat(corrections, n_per_chunk)
-        tfs = vb_decode(b"".join(pdf["tfs"]))
-        dls = vb_decode(b"".join(pdf["dls"]))
+    # batched decode: gaps of all chunks in one pass, then segmented
+    # cumsum (each chunk's first gap is its absolute doc id)
+    gaps = vb_decode(b"".join(pdf["doc_ids"]))
+    total = np.cumsum(gaps)
+    corrections = np.zeros(len(pdf), dtype=np.int64)
+    corrections[1:] = total[chunk_bounds[1:-1] - 1]
+    ids = total - np.repeat(corrections, n_per_chunk)
+    tfs = vb_decode(b"".join(pdf["tfs"]))
+    dls = vb_decode(b"".join(pdf["dls"]))
 
-        # per-term doc order (chunk doc-ranges interleave across partitions)
-        terms = pdf["term"].to_numpy()
-        tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
-        term_gid = np.repeat(np.cumsum(tchange) - 1, n_per_chunk)
-        order = np.lexsort((ids, term_gid))
+    # per-term doc order (chunk doc-ranges interleave across partitions)
+    terms = pdf["term"].to_numpy()
+    tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
+    term_gid = np.repeat(np.cumsum(tchange) - 1, n_per_chunk)
+    order = np.lexsort((ids, term_gid))
 
-        if store_positions:
-            # positions, flat and aligned with the PRE-permutation postings:
-            # decode gaps, restore absolutes with per-posting cumsum resets
-            pgaps = vb_decode(b"".join(pdf["pos"]))
-            ptotal = np.cumsum(pgaps)
-            pb = np.cumsum(tfs)  # posting ends in flat position space
-            pcorr = np.zeros(n, dtype=np.int64)
-            pcorr[1:] = ptotal[pb[:-1] - 1]
-            pos_abs = ptotal - np.repeat(pcorr, tfs)
-            # permute posting GROUPS by `order` (variable-length gather)
-            off_in = pb - tfs
-            lens_out = tfs[order]
-            m = int(lens_out.sum())
-            out_start = np.cumsum(lens_out) - lens_out
-            gather = (
-                np.repeat(off_in[order], lens_out)
-                + np.arange(m, dtype=np.int64)
-                - np.repeat(out_start, lens_out)
-            )
-            pos_perm = pos_abs[gather]
-            posting_bounds_out = np.append(out_start, m)
+    if store_positions:
+        # positions, flat and aligned with the PRE-permutation postings:
+        # decode gaps, restore absolutes with per-posting cumsum resets
+        pgaps = vb_decode(b"".join(pdf["pos"]))
+        ptotal = np.cumsum(pgaps)
+        pb = np.cumsum(tfs)  # posting ends in flat position space
+        pcorr = np.zeros(n, dtype=np.int64)
+        pcorr[1:] = ptotal[pb[:-1] - 1]
+        pos_abs = ptotal - np.repeat(pcorr, tfs)
+        # permute posting GROUPS by `order` (variable-length gather)
+        off_in = pb - tfs
+        lens_out = tfs[order]
+        m = int(lens_out.sum())
+        out_start = np.cumsum(lens_out) - lens_out
+        gather = (
+            np.repeat(off_in[order], lens_out)
+            + np.arange(m, dtype=np.int64)
+            - np.repeat(out_start, lens_out)
+        )
+        pos_perm = pos_abs[gather]
+        posting_bounds_out = np.append(out_start, m)
 
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
 
-        # value-index bounds per term, then per-128 block bounds per term
-        term_first_chunk = np.flatnonzero(tchange)
-        term_bounds = chunk_bounds[np.append(term_first_chunk, len(pdf))]
-        term_names = terms[term_first_chunk]
-        starts_list = [
-            np.arange(term_bounds[i], term_bounds[i + 1], BLOCK_SIZE)
-            for i in range(len(term_names))
-        ]
-        blk_starts = np.concatenate(starts_list)
-        bounds = np.append(blk_starts, n)
-        blk_ends = bounds[1:]
-        blocks_per_term = np.array([len(s) for s in starts_list])
+    # value-index bounds per term, then per-128 block bounds per term
+    term_first_chunk = np.flatnonzero(tchange)
+    term_bounds = chunk_bounds[np.append(term_first_chunk, len(pdf))]
+    term_names = terms[term_first_chunk]
+    starts_list = [
+        np.arange(term_bounds[i], term_bounds[i + 1], BLOCK_SIZE)
+        for i in range(len(term_names))
+    ]
+    blk_starts = np.concatenate(starts_list)
+    bounds = np.append(blk_starts, n)
+    blk_ends = bounds[1:]
+    blocks_per_term = np.array([len(s) for s in starts_list])
 
-        contrib = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-        out = {
-            "term": np.repeat(term_names, blocks_per_term),
-            "bucket": np.full(len(blk_starts), bucket, dtype=np.int32),
-            "salt": np.full(len(blk_starts), salt, dtype=np.int32),
-            "block_id": np.concatenate(
-                [np.arange(k, dtype=np.int32) for k in blocks_per_term]
-            ),
-            "min_doc": ids[blk_starts],
-            "max_doc": ids[blk_ends - 1],
-            "n_docs": (blk_ends - blk_starts).astype(np.int32),
-            "doc_ids": encode_doc_id_segments(ids, bounds),
-            "tfs": vb_encode_segments(tfs, bounds),
-            "dls": vb_encode_segments(dls, bounds),
-            # exact bound at build-time avgdl (diagnostics/tests); the query
-            # path recomputes a drift-safe bound from (max_tf, min_dl)
-            "block_max_score": np.maximum.reduceat(contrib, blk_starts),
-            "max_tf": np.maximum.reduceat(tfs, blk_starts).astype(np.int32),
-            "min_dl": np.minimum.reduceat(dls, blk_starts).astype(np.int32),
-        }
-        if store_positions:
-            out["pos"] = encode_positions_segments(
-                pos_perm, posting_bounds_out, posting_bounds_out[bounds]
-            )
-        else:
-            out["pos"] = [b""] * len(blk_starts)
-        return out
+    contrib = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    out = {
+        "term": np.repeat(term_names, blocks_per_term),
+        "bucket": np.full(len(blk_starts), bucket, dtype=np.int32),
+        "salt": np.full(len(blk_starts), salt, dtype=np.int32),
+        "block_id": np.concatenate(
+            [np.arange(k, dtype=np.int32) for k in blocks_per_term]
+        ),
+        "min_doc": ids[blk_starts],
+        "max_doc": ids[blk_ends - 1],
+        "n_docs": (blk_ends - blk_starts).astype(np.int32),
+        "doc_ids": encode_doc_id_segments(ids, bounds),
+        "tfs": vb_encode_segments(tfs, bounds),
+        "dls": vb_encode_segments(dls, bounds),
+        # exact bound at build-time avgdl (diagnostics/tests); the query
+        # path recomputes a drift-safe bound from (max_tf, min_dl)
+        "block_max_score": np.maximum.reduceat(contrib, blk_starts),
+        "max_tf": np.maximum.reduceat(tfs, blk_starts).astype(np.int32),
+        "min_dl": np.minimum.reduceat(dls, blk_starts).astype(np.int32),
+    }
+    if store_positions:
+        out["pos"] = encode_positions_segments(
+            pos_perm, posting_bounds_out, posting_bounds_out[bounds]
+        )
+    else:
+        out["pos"] = [b""] * len(blk_starts)
+    return out
 
 
 def _reblocker(avgdl: float, store_positions: bool = False):

@@ -5,13 +5,23 @@ as the tf, and the weight is the SUM of the phrase terms' idfs:
 
     score(q,d) = (Σ_t idf(t)) · ptf / (ptf + k1·(1 − b + b·dl/avgdl))
 
-Spark-first strategy instead of storing positions in the index: the index
-prunes (postings intersection gives the docs containing ALL phrase terms —
-tiny relative to the corpus), then adjacency is verified JVM-side on the
-pruned docs-store subset with a lead-window over the token stream. This
-trades index size (no positions stored) for a bounded re-tokenization of
-candidates — the right trade for transcript turns (short docs); a
-positions-in-postings variant would slot into the same block format.
+Three physical strategies for the same logical operator:
+
+1. **algebra** (``phrase_topk``) — pure DataFrame plan over the source
+   table (the oracle-comparable reference path);
+2. **distributed index** (``phrase_topk_indexed``) — postings intersection
+   prunes candidates (all DataFrame, no driver IN-list), adjacency verified
+   JVM-side on the semi-joined docs-store subset — the path for indexes
+   built WITHOUT positions (trades index size for a bounded candidate
+   re-tokenization; right for short transcript turns);
+3. **positional** (``phrase_topk_positional`` + the serving tier's
+   ``LocalSearcher.search_phrase``) — the ES/Lucene execution over stored
+   per-posting positions (``store_positions=True``): adjacency from decoded
+   positions alone, no docs-store re-read — the path that stays bounded for
+   common-term phrases.
+
+All three are rank/score-identical to each other and to the Lucene-
+semantics oracle (tests).
 """
 
 from __future__ import annotations
@@ -140,6 +150,91 @@ def phrase_candidates(searcher, uniq: "list[str]") -> DataFrame:
     )
 
 
+def _phrase_from_blocks(
+    pdf, terms: "list[str]", uniq: "list[str]", dfs: dict,
+    n_docs: int, avgdl: float, deleted, k: int,
+) -> "list[tuple[int, float]]":
+    """Positional phrase top-k over a pandas frame of posting blocks (with
+    the pos column) — the numpy core shared by the Spark-scan searcher and
+    the RAM-resident serving tier."""
+    import numpy as np
+
+    from ..index.codec import decode_block_batch, decode_positions
+    from .wand import _alive_mask, idf
+
+    # per-term (doc_id, tfs, flat positions), doc-sorted with positions
+    # carried along (salted streams are disjoint by doc)
+    by_term: dict = {}
+    for term, g in pdf.groupby("term"):
+        ids, tfs, dls = decode_block_batch(
+            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
+        )
+        pos = decode_positions(b"".join(g["pos"]), tfs)
+        order = np.argsort(ids, kind="stable")
+        off = np.cumsum(tfs) - tfs
+        lens_out = tfs[order]
+        m = int(lens_out.sum())
+        out_start = np.cumsum(lens_out) - lens_out
+        gather = (
+            np.repeat(off[order], lens_out)
+            + np.arange(m, dtype=np.int64)
+            - np.repeat(out_start, lens_out)
+        )
+        by_term[term] = (ids[order], lens_out, pos[gather], dls[order])
+
+    # candidates = docs containing ALL terms (sorted-array intersections)
+    cand = by_term[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, by_term[t][0], assume_unique=True)]
+    if deleted is not None and deleted.size:
+        cand = cand[_alive_mask(deleted, cand)]
+    if cand.size == 0:
+        return []
+
+    # adjacency: ptf(doc) = |{p ∈ P_0(doc) : p+j ∈ P_j(doc) ∀j}| — per-doc
+    # position-set intersections over numpy slices (duplicate phrase terms
+    # reuse the same term's positions at their offset — Lucene semantics)
+    slices: dict = {}
+    for t in uniq:
+        ids_t, tfs_t, pos_t, _dls_t = by_term[t]
+        starts = np.cumsum(tfs_t) - tfs_t
+        idx = np.searchsorted(ids_t, cand)
+        slices[t] = (starts[idx], tfs_t[idx], pos_t)
+
+    ptfs = np.zeros(cand.size, dtype=np.int64)
+    for i in range(cand.size):
+        s0, l0, p0 = slices[terms[0]]
+        match = p0[s0[i] : s0[i] + l0[i]]
+        for j, t in enumerate(terms[1:], start=1):
+            if match.size == 0:
+                break
+            sj, lj, pj = slices[t]
+            nxt = pj[sj[i] : sj[i] + lj[i]]
+            match = match[np.isin(match + j, nxt, assume_unique=True)]
+        ptfs[i] = match.size
+
+    hit = ptfs > 0
+    cand, ptfs = cand[hit], ptfs[hit]
+    if cand.size == 0:
+        return []
+
+    # dl of each candidate, read off the first term's doc-sorted stream
+    ids0, _tfs0, _pos0, dls0 = by_term[uniq[0]]
+    dl = dls0[np.searchsorted(ids0, cand)].astype(np.float64)
+
+    idf_sum = sum(idf(n_docs, dfs[t]) for t in uniq)
+    scores = idf_sum * ptfs / (ptfs + K1 * (1.0 - B + B * dl / avgdl))
+    if k < scores.size:
+        import numpy as np2  # noqa: F401
+
+        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        keep = np.flatnonzero(scores >= kth)
+    else:
+        keep = np.arange(scores.size)
+    order = keep[np.lexsort((cand[keep], -scores[keep]))][:k]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
 def phrase_topk_positional(
     searcher, phrase: str, k: int = 10
 ) -> "list[tuple[int, float]]":
@@ -154,12 +249,8 @@ def phrase_topk_positional(
 
     Driver-side vectorized (numpy) over the pruned blocks of the phrase's
     terms — the serving-tier shape; rank/score-identical to the algebra
-    phrase scorer (tested)."""
-    import numpy as np
-
-    from ..index.codec import decode_block_batch, decode_positions
-    from .wand import _alive_mask, idf
-
+    phrase scorer (tested); the numpy core (_phrase_from_blocks) is
+    shared with the serving tier's LocalSearcher.search_phrase."""
     if not searcher.meta.get("store_positions"):
         raise ValueError(
             "index was built without positions (store_positions=False) — "
@@ -182,89 +273,13 @@ def phrase_topk_positional(
     if pdf.empty or pdf["term"].nunique() < len(uniq):
         return []  # some phrase term absent entirely
 
-    # per-term (doc_id, flat positions) — decode blocks, then positions
-    by_term: dict = {}
-    for term, g in pdf.groupby("term"):
-        ids, tfs, dls = decode_block_batch(
-            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
-        )
-        pos = decode_positions(b"".join(g["pos"]), tfs)
-        # salted streams are disjoint by doc: sort postings by doc id and
-        # carry the positions along (variable-length gather)
-        order = np.argsort(ids, kind="stable")
-        off = np.cumsum(tfs) - tfs
-        lens_out = tfs[order]
-        m = int(lens_out.sum())
-        out_start = np.cumsum(lens_out) - lens_out
-        gather = (
-            np.repeat(off[order], lens_out)
-            + np.arange(m, dtype=np.int64)
-            - np.repeat(out_start, lens_out)
-        )
-        by_term[term] = (ids[order], lens_out, pos[gather])
-
     dfs = searcher._live_dfs(pdf)
     if any(dfs.get(t, 0) <= 0 for t in uniq):
         return []
-
-    # candidates = docs containing ALL terms (sorted-array intersections)
-    cand = by_term[uniq[0]][0]
-    for t in uniq[1:]:
-        cand = cand[np.isin(cand, by_term[t][0], assume_unique=True)]
-    if searcher.deleted.size:
-        cand = cand[_alive_mask(searcher.deleted, cand)]
-    if cand.size == 0:
-        return []
-
-    # adjacency: ptf(doc) = |{p ∈ P_0(doc) : p+j ∈ P_j(doc) ∀j}| — per-doc
-    # position-set intersections over numpy slices (duplicate phrase terms
-    # reuse the same term's positions at their offset, which is exactly the
-    # Lucene semantics)
-    slices: dict = {}
-    for t in uniq:
-        ids_t, tfs_t, pos_t = by_term[t]
-        starts = np.cumsum(tfs_t) - tfs_t
-        idx = np.searchsorted(ids_t, cand)
-        slices[t] = (starts[idx], tfs_t[idx], pos_t)
-
-    ptfs = np.zeros(cand.size, dtype=np.int64)
-    for i in range(cand.size):
-        s0, l0, p0 = slices[terms[0]]
-        match = p0[s0[i] : s0[i] + l0[i]]
-        for j, t in enumerate(terms[1:], start=1):
-            if match.size == 0:
-                break
-            sj, lj, pj = slices[t]
-            nxt = pj[sj[i] : sj[i] + lj[i]]
-            match = match[np.isin(match + j, nxt, assume_unique=True)]
-        ptfs[i] = match.size
-
-    hit = ptfs > 0
-    cand, ptfs = cand[hit], ptfs[hit]
-    if cand.size == 0:
-        return []
-
-    # dl of each candidate: every term's blocks carry per-posting dls —
-    # read them off the first term's doc-sorted stream
-    g0 = pdf[pdf.term == uniq[0]]
-    ids_raw, _tfs_raw, dls_raw = decode_block_batch(
-        g0["doc_ids"], g0["tfs"], g0["dls"], g0["n_docs"].to_numpy()
+    deleted = searcher.deleted if searcher.deleted.size else None
+    return _phrase_from_blocks(
+        pdf, terms, uniq, dfs, searcher.n_docs, searcher.avgdl, deleted, k
     )
-    ord0 = np.argsort(ids_raw, kind="stable")
-    ids_sorted, dls_sorted = ids_raw[ord0], dls_raw[ord0]
-    dl = dls_sorted[np.searchsorted(ids_sorted, cand)].astype(np.float64)
-
-    idf_sum = sum(idf(searcher.n_docs, dfs[t]) for t in uniq)
-    scores = idf_sum * ptfs / (
-        ptfs + K1 * (1.0 - B + B * dl / searcher.avgdl)
-    )
-    if k < scores.size:
-        kth = np.partition(scores, scores.size - k)[scores.size - k]
-        keep = np.flatnonzero(scores >= kth)
-    else:
-        keep = np.arange(scores.size)
-    order = keep[np.lexsort((cand[keep], -scores[keep]))][:k]
-    return [(int(cand[i]), float(scores[i])) for i in order]
 
 
 def phrase_topk_indexed(searcher, phrase: str, k: int = 10) -> "list[tuple[int, float]]":

@@ -33,7 +33,7 @@ BLOCK_COLS = [
 
 
 class LocalSearcher:
-    def __init__(self, index_dir: str) -> None:
+    def __init__(self, index_dir: str, with_positions: bool = False) -> None:
         import pyarrow.dataset as ds
 
         from ..index.builder import (
@@ -50,19 +50,24 @@ class LocalSearcher:
         st = ds.dataset(paths.stats_v(tv)).to_table().to_pandas().iloc[0]
         self.n_docs = int(st.n_docs)
         self.avgdl = float(st.avgdl)
+        # the serving node pins only the scoring columns unless it also
+        # serves match_phrase (then the pos column loads too — Lucene's
+        # .pos, columnar)
+        cols = BLOCK_COLS + ["pos"] if with_positions else BLOCK_COLS
+        self._with_positions = with_positions
         pdirs = postings_sources(index_dir, self.meta)
         if pdirs:
             blocks = pd.concat(
                 [
                     ds.dataset(d, partitioning="hive")
-                    .to_table(columns=BLOCK_COLS)
+                    .to_table(columns=cols)
                     .to_pandas()
                     for d in pdirs
                 ],
                 ignore_index=True,
             )
         else:  # all-empty corpus → no postings files
-            blocks = pd.DataFrame({c: [] for c in BLOCK_COLS})
+            blocks = pd.DataFrame({c: [] for c in cols})
         # term → block-slice index (sorted once; per-query lookup is O(log n))
         blocks = blocks.sort_values(["term", "salt", "min_doc"], kind="stable")
         self._blocks = blocks.reset_index(drop=True)
@@ -90,6 +95,33 @@ class LocalSearcher:
         if self._live_df is not None:
             return int(self._live_df.get(term, 0))
         return int(g["n_docs"].sum())
+
+    def search_phrase(self, phrase: str, k: int = 10) -> "list[tuple[int, float]]":
+        """match_phrase from the RAM-resident positional blocks — the ES
+        serving-node execution (requires ``with_positions=True`` over an
+        index built with ``store_positions=True``)."""
+        from .phrase import _phrase_from_blocks
+
+        if not self._with_positions or not self.meta.get("store_positions"):
+            raise ValueError(
+                "serving-tier phrase needs LocalSearcher(with_positions=True) "
+                "over an index built with store_positions=True"
+            )
+        terms = tokenize(phrase)
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return []
+        frames = [self._term_blocks(t) for t in uniq]
+        if any(f is None for f in frames):
+            return []
+        pdf = pd.concat(frames, ignore_index=True)
+        dfs = {t: self._df_of(t, g) for t, g in zip(uniq, frames)}
+        if any(dfs[t] <= 0 for t in uniq):
+            return []
+        deleted = self.deleted if self.deleted.size else None
+        return _phrase_from_blocks(
+            pdf, terms, uniq, dfs, self.n_docs, self.avgdl, deleted, k
+        )
 
     def search(
         self, query: str, k: int = 10, engine: str = "vectorized"

@@ -177,3 +177,22 @@ def test_phrase_positional_with_cached_searcher(spark, corpus, pos_index_dir):
     got = phrase_topk_positional(searcher, "中 文", 10)
     want = oracle.phrase_topk("中 文", 10)
     assert [key_of[g[0]] for g in got] == [key_of[w[0]] for w in want]
+
+
+def test_serving_tier_phrase(corpus, pos_index_dir):
+    """LocalSearcher.search_phrase (RAM-resident positional blocks) —
+    rank/score-identical to the oracle: the ES-node match_phrase analog."""
+    from sync2any_spark.query.serving import LocalSearcher
+
+    _, oracle, key_of = corpus
+    local = LocalSearcher(pos_index_dir, with_positions=True)
+    for phrase in ("中 文", "ok ok", "w0000 zzzzmissing"):
+        got = local.search_phrase(phrase, 10)
+        want = oracle.phrase_topk(phrase, 10)
+        assert [key_of[g[0]] for g in got] == [key_of[w[0]] for w in want], phrase
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), phrase
+    # without positions loaded, the phrase path refuses loudly
+    plain = LocalSearcher(pos_index_dir)
+    with pytest.raises(ValueError, match="with_positions"):
+        plain.search_phrase("中 文", 10)
