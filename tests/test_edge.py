@@ -72,3 +72,64 @@ def test_identical_docs_tiebreak(spark, tmp_path):
     assert [g[0] for g in got] == [0, 1, 2]
     bmw = s.search("same", 3, engine="bmw")
     assert bmw == got
+
+
+def test_increment_into_zero_doc_index(spark, tmp_path):
+    """ADVICE: the first increment against an index built from an EMPTY
+    corpus must not crash (max(doc_id) is NULL → base id 0)."""
+    from sync2any_spark.query.wand import IndexSearcher
+    from sync2any_spark.streaming.incremental import apply_increments
+
+    df = spark.createDataFrame([], SCHEMA)
+    d = str(tmp_path)
+    build_index(spark, df, d, n_partitions=2, n_buckets=2, n_salts=2,
+                heavy_df_threshold=10)
+    inc = spark.createDataFrame(
+        [("c1", 0, "user", "first ever doc", "", TS, "I")],
+        SCHEMA + ", op string",
+    )
+    summary = apply_increments(spark, d, inc)
+    assert summary["new_docs"] == 1
+    s = IndexSearcher(spark, d)
+    assert [h[0] for h in s.search("first", 10)] == [0]  # base id 0
+
+
+def test_null_text_upsert_not_dropped(spark, tmp_path):
+    """ADVICE: an upsert whose incoming text is NULL must take effect (the
+    old null-unsafe != comparison silently dropped it)."""
+    from sync2any_spark.streaming.incremental import apply_increments, live_docs
+
+    df, d = _build(
+        spark,
+        [("c1", 0, "user", "original text here", "", TS),
+         ("c1", 1, "user", "second row", "", TS)],
+        tmp_path,
+    )
+    inc = spark.createDataFrame(
+        [("c1", 0, "user", None, "", TS, "U")], SCHEMA + ", op string"
+    )
+    summary = apply_increments(spark, d, inc)
+    assert summary["new_docs"] == 1 and summary["tombstones"] == 1
+    live = {(r.conv_id, r.turn_idx): r.text for r in live_docs(spark, d).collect()}
+    assert live[("c1", 0)] is None
+    # and a role-only change also rewrites the doc row (fetch correctness)
+    inc2 = spark.createDataFrame(
+        [("c1", 1, "assistant", "second row", "", TS, "U")],
+        SCHEMA + ", op string",
+    )
+    s2 = apply_increments(spark, d, inc2)
+    assert s2["new_docs"] == 1
+    live2 = {(r.conv_id, r.turn_idx): r.role for r in live_docs(spark, d).collect()}
+    assert live2[("c1", 1)] == "assistant"
+
+
+def test_fetch_schema_consistent_on_empty(spark, tmp_path):
+    """ADVICE: fetch([]) must return the same schema as a non-empty fetch
+    (callers consuming role/text broke on empty results)."""
+    from sync2any_spark.query.wand import IndexSearcher
+
+    _, d = _build(spark, [("c1", 0, "user", "hello world", "", TS)], tmp_path)
+    s = IndexSearcher(spark, d)
+    empty = s.fetch([])
+    full = s.fetch(s.search("hello", 10))
+    assert empty.columns == full.columns
