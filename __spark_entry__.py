@@ -410,6 +410,37 @@ def _q_phrase_topk_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make sync2any_spark importable inside Python workers regardless of
+    how the session was created (the driver's harness session has no
+    PYTHONPATH): zip the package and addPyFile it — exactly the
+    spark-submit --py-files deployment shape of the north rule."""
+    import os
+    import shutil
+    import zipfile
+
+    import sync2any_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(sync2any_spark.__file__))
+    zip_path = os.path.join(os.path.dirname(pkg_dir), "data", "sync2any_spark_pkg.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    tmp = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "sync2any_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    shutil.move(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+
+
 def _contract_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once compressed index over the transcripts corpus for contract
     queries that exercise the INDEXED read path (resume makes re-entry a
@@ -417,6 +448,8 @@ def _contract_index(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     from sync2any_spark.index.builder import build_index
+
+    _ship_package(spark)
 
     tag = sf_tag(sf_dir)
     src = ensure_transcripts(tag)

@@ -37,7 +37,7 @@ CPUS_BASE = max(1, CPUS // 16)
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
 # repeat each build and take the min wall — single-run noise on this shared
 # virtual machine is ±40%
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 # bench indexes live on RAM-backed storage: the build is a compute/shuffle
