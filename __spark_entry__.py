@@ -519,6 +519,37 @@ def _q_phrase_topk_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the COMPRESSED index (pruned bucket scan → driver
+    vectorized scoring) — the serving path, held to the same SQL oracle as
+    the algebra query: rank- and score-identical or the hash fails."""
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx)
+    hits = searcher.search("ok w0000", 10)
+    hit_df = spark.createDataFrame(hits, "doc_id long, score double")
+    return (
+        searcher._docs.join(F.broadcast(hit_df), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
+def _q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the DISTRIBUTED scoring path (pruned scan →
+    mapInPandas partials → groupBy sum → TakeOrderedAndProject) — the
+    cluster-side execution, same oracle."""
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx)
+    hits = searcher.search_distributed("ok w0000", 10)
+    return (
+        searcher._docs.join(F.broadcast(hits), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "phrase_match_documents": _q_phrase_match_documents,
@@ -556,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_transcripts": _q_routing,
         "rules_fanin_tables": _q_rules_fanin,
         "bm25_topk_transcripts": _q_bm25_topk_transcripts,
+        "bm25_topk_indexed_transcripts": _q_bm25_indexed,
+        "bm25_topk_distributed_transcripts": _q_bm25_distributed,
     }
 
 
@@ -1095,7 +1128,10 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     # the indexed and positional phrase paths must reproduce the algebra
-    # phrase ranking bit-for-bit — same oracle
+    # phrase ranking bit-for-bit — same oracle; likewise both compressed-
+    # index BM25 executions must reproduce the algebra BM25 ranking
     out["phrase_topk_indexed_transcripts"] = out["phrase_topk_transcripts"]
     out["phrase_topk_positional_transcripts"] = out["phrase_topk_transcripts"]
+    out["bm25_topk_indexed_transcripts"] = out["bm25_topk_transcripts"]
+    out["bm25_topk_distributed_transcripts"] = out["bm25_topk_transcripts"]
     return out

@@ -334,6 +334,37 @@ def apply_increments(
     }
 
 
+def vacuum(index_dir: str) -> "list[str]":
+    """Remove artifacts no commit references: superseded terms_v/stats_v
+    versions and staging/orphan segment dirs from crashed applies (the
+    Iceberg `expire_snapshots`/`remove_orphan_files` analog). Safe at any
+    time — readers resolve only through meta.json, and live artifacts are
+    exactly {terms_version} ∪ {committed segments}. Returns removed paths."""
+    import shutil
+
+    meta = read_index_meta(index_dir)
+    paths = IndexPaths(index_dir)
+    keep_v = int(meta.get("terms_version", 0))
+    committed = set(meta.get("segments", []))
+    removed: list[str] = []
+
+    for name in sorted(os.listdir(index_dir)):
+        full = os.path.join(index_dir, name)
+        if name.startswith(("terms_v", "stats_v")):
+            v = int(name.split("_v")[1])
+            if v != keep_v:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        elif name in ("postings_segs", "docs_segs", "deletes_segs"):
+            for seg in sorted(os.listdir(full)):
+                n = int(seg.replace("seg", ""))
+                if n not in committed:
+                    p = os.path.join(full, seg)
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+    return removed
+
+
 def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     """Force-merge analog: rebuild the index from the live corpus. Purges
     tombstones, re-densifies doc ids, restores exact block-max bounds."""

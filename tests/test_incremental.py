@@ -241,3 +241,40 @@ def test_segment_range_reads(spark, transcripts_sf0001, tmp_path_factory):
     # full range = union of both batches' additions
     all_added, _ = read_segment_changes(spark, idx, after_segment=0)
     assert all_added.count() == 3
+
+
+def test_vacuum_removes_only_unreferenced(spark, transcripts_sf0001, increments,
+                                          tmp_path_factory, monkeypatch):
+    """vacuum (expire_snapshots analog): after a crashed apply + retry +
+    second apply, only the live terms/stats version and committed segments
+    survive — and every query still answers identically."""
+    import sync2any_spark.streaming.incremental as inc_mod
+    from sync2any_spark.streaming.incremental import vacuum
+
+    idx = str(tmp_path_factory.mktemp("idx_vac"))
+    build_index(spark, transcripts_sf0001, idx, resume=False, **PARAMS)
+
+    # crash one apply before commit → orphan seg-1 artifacts
+    real = inc_mod._write_meta
+    monkeypatch.setattr(inc_mod, "_write_meta",
+                        lambda *a: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError):
+        apply_increments(spark, idx, increments)
+    monkeypatch.setattr(inc_mod, "_write_meta", real)
+    apply_increments(spark, idx, increments)  # commit seg 1 (overwrites orphans)
+
+    import datetime
+    ts = datetime.datetime(2026, 8, 1)
+    b2 = spark.createDataFrame(
+        [("conv_vc000001", 0, "user", "vacuum probe text", "", ts, "I")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, op string",
+    )
+    apply_increments(spark, idx, b2)  # seg 2 → terms_v1 now superseded
+
+    before = IndexSearcher(spark, idx).search("ok", 10)
+    removed = vacuum(idx)
+    assert any("terms_v00001" in p for p in removed)  # superseded version gone
+    state = _index_state(spark, idx)
+    assert state[3] == [1, 2]  # both committed segments intact
+    assert IndexSearcher(spark, idx).search("ok", 10) == before
+    assert vacuum(idx) == []  # idempotent
