@@ -270,6 +270,22 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir), "doc_id")
 
 
+def _q_langid_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID over the transcripts corpus (its injected CJK spans
+    exercise the script-detection stage: kana→ja, hangul→ko, han→zh),
+    aggregated to per-language counts."""
+    from sync2any_spark.pipeline.textstats import language_id
+
+    t = _transcripts(spark, sf_dir).select(
+        F.concat_ws("_", "conv_id", "turn_idx").alias("turn_key"), "text"
+    )
+    return (
+        language_id(t, "turn_key")
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sync2any_spark.pipeline.textstats import quality_scores
 
@@ -566,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "langid_documents": _q_langid,
+        "langid_transcripts": _q_langid_transcripts,
         "quality_documents": _q_quality,
         "token_counts_documents": _q_token_counts,
         "fingerprints_documents": _q_fingerprints,
@@ -700,13 +717,13 @@ _EMB_UNNEST = """
   )
 """
 
-_SW_EN = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"])
-_SW = {
-    "en": _SW_EN,
-    "es": ", ".join(f"'{w}'" for w in ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"]),
-    "de": ", ".join(f"'{w}'" for w in ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"]),
-    "fr": ", ".join(f"'{w}'" for w in ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"]),
-}
+# stopword literals come from the ONE definition the engine uses
+# (pipeline.textstats.STOPWORDS); quality uses the short core list
+from sync2any_spark.pipeline.textstats import SCRIPT_RE as _SCRIPT_RE
+from sync2any_spark.pipeline.textstats import STOPWORDS as _STOPWORDS
+
+_SW_EN = ", ".join(f"'{w}'" for w in _STOPWORDS["en"][:10])
+_SW = {g: ", ".join(f"'{w}'" for w in _STOPWORDS[g]) for g in _STOPWORDS}
 
 
 def _ann_lsh_sql(n_planes: int = 6, seed: int = 7, dim: int = 64,
@@ -962,12 +979,18 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT doc_id, {lang_counts} FROM toks GROUP BY doc_id),
             base AS (
               SELECT d.doc_id,
+                     len(regexp_extract_all(d.text, '{_SCRIPT_RE["kana"][1]}')) AS s_kana,
+                     len(regexp_extract_all(d.text, '{_SCRIPT_RE["hangul"][1]}')) AS s_hangul,
+                     len(regexp_extract_all(d.text, '{_SCRIPT_RE["han"][1]}')) AS s_han,
                      coalesce(n_en, 0) AS n_en, coalesce(n_es, 0) AS n_es,
                      coalesce(n_de, 0) AS n_de, coalesce(n_fr, 0) AS n_fr
               FROM documents d LEFT JOIN cnt USING (doc_id)
             )
             SELECT doc_id,
                    CASE
+                     WHEN s_kana > 0 THEN 'ja'
+                     WHEN s_hangul > 0 THEN 'ko'
+                     WHEN s_han > 0 THEN 'zh'
                      WHEN n_en > 0 AND n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
                      WHEN n_es > 0 AND n_es >= n_de AND n_es >= n_fr THEN 'es'
                      WHEN n_de > 0 AND n_de >= n_fr THEN 'de'
@@ -975,6 +998,38 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_pred
             FROM base
+        """,
+        "langid_transcripts": f"""
+            WITH src AS (
+              SELECT conv_id || '_' || turn_idx::VARCHAR AS turn_key, text
+              FROM {tsrc}
+            ),
+            toks AS (SELECT turn_key, unnest(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_RE}')) AS term FROM src),
+            cnt AS (SELECT turn_key, {lang_counts} FROM toks GROUP BY turn_key),
+            base AS (
+              SELECT s.turn_key,
+                     len(regexp_extract_all(s.text, '{_SCRIPT_RE["kana"][1]}')) AS s_kana,
+                     len(regexp_extract_all(s.text, '{_SCRIPT_RE["hangul"][1]}')) AS s_hangul,
+                     len(regexp_extract_all(s.text, '{_SCRIPT_RE["han"][1]}')) AS s_han,
+                     coalesce(n_en, 0) AS n_en, coalesce(n_es, 0) AS n_es,
+                     coalesce(n_de, 0) AS n_de, coalesce(n_fr, 0) AS n_fr
+              FROM src s LEFT JOIN cnt USING (turn_key)
+            ),
+            pred AS (
+              SELECT turn_key,
+                     CASE
+                       WHEN s_kana > 0 THEN 'ja'
+                       WHEN s_hangul > 0 THEN 'ko'
+                       WHEN s_han > 0 THEN 'zh'
+                       WHEN n_en > 0 AND n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
+                       WHEN n_es > 0 AND n_es >= n_de AND n_es >= n_fr THEN 'es'
+                       WHEN n_de > 0 AND n_de >= n_fr THEN 'de'
+                       WHEN n_fr > 0 THEN 'fr'
+                       ELSE 'und'
+                     END AS lang_pred
+              FROM base
+            )
+            SELECT lang_pred, count(*)::BIGINT AS n_turns FROM pred GROUP BY lang_pred
         """,
         "quality_documents": f"""
             WITH toks AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),

@@ -8,15 +8,48 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..query.algebra import SPARK_TOKEN_RE
 
-# tiny per-language stopword profiles for the n-gram/stopword heuristic;
-# deliberately short and fixed so the oracle SQL can inline them
+# per-language function-word profiles (fixed literals so the oracle SQL can
+# inline them; ~40 of the highest-frequency function words each — the
+# classic stopword-profile vote, script detection handles non-Latin)
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
-    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "en": [
+        "the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+        "was", "for", "on", "are", "with", "as", "his", "they", "be", "at",
+        "have", "this", "from", "or", "had", "by", "not", "but", "what",
+        "were", "we", "when", "your", "can", "there", "an", "which", "their",
+        "if", "will",
+    ],
+    "es": [
+        "el", "la", "de", "que", "y", "en", "un", "los", "se", "no",
+        "por", "con", "una", "su", "para", "es", "las", "lo", "como", "del",
+        "al", "le", "mas", "pero", "sus", "me", "hay", "fue", "este", "ha",
+        "si", "porque", "esta", "entre", "cuando", "muy", "sobre", "tambien",
+        "hasta", "donde",
+    ],
+    "de": [
+        "der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu",
+        "den", "von", "sie", "im", "dem", "auf", "auch", "es", "an", "als",
+        "nach", "wie", "eine", "aber", "aus", "bei", "er", "hat", "wenn",
+        "nur", "war", "noch", "werden", "einer", "um", "am", "sind", "oder",
+        "wird", "sein", "einen",
+    ],
+    "fr": [
+        "le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que",
+        "en", "du", "pour", "qui", "sur", "se", "plus", "ne", "par", "il",
+        "au", "avec", "son", "ce", "mais", "ou", "nous", "comme", "ses",
+        "sont", "aux", "cette", "ont", "tout", "fait", "elle", "deux",
+        "entre", "sans", "leur",
+    ],
 }
 LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break
+
+# unicode script ranges — the SAME ranges the analyzer pins (tokenize.py),
+# with proven-identical Spark/Python and DuckDB-RE2 spellings
+SCRIPT_RE = {
+    "han": ("[一-鿿]", r"[\x{4e00}-\x{9fff}]"),
+    "kana": ("[぀-ヿ]", r"[\x{3040}-\x{30ff}]"),
+    "hangul": ("[가-힯]", r"[\x{ac00}-\x{d7af}]"),
+}
 
 
 def _tokens(text_col: str):
@@ -48,7 +81,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     n_punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)
     )
-    sw = STOPWORDS["en"]
+    sw = STOPWORDS["en"][:10]  # quality uses the short core list (fixed)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(sw)))
     n_digit = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), 0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
@@ -71,10 +104,25 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, lang_pred) — stopword-profile argmax with deterministic
-    tie-break (LANG_ORDER, then 'und' when no profile matches)."""
+    """(id, lang_pred) — two-stage language ID, all codegen:
+
+    1. **script detection** (decisive for non-Latin scripts): any kana →
+       'ja' (kana is unique to Japanese); else any hangul → 'ko'; else any
+       Han ideograph → 'zh' (Han without kana reads as Chinese — the
+       standard script-first heuristic);
+    2. **function-word profile vote** over ~40 stopwords per Latin language
+       (en/es/de/fr), deterministic tie-break by LANG_ORDER, 'und' when no
+       profile matches.
+
+    Every branch is SQL-expressible, so the DuckDB oracle replays the exact
+    decision procedure."""
     toks = _tokens(text_col)
-    out = df.select(F.col(id_col), toks.alias("__toks"))
+    out = df.select(F.col(id_col), F.col(text_col).alias("__text"), toks.alias("__toks"))
+    for name, (spark_re, _duck_re) in SCRIPT_RE.items():
+        out = out.withColumn(
+            f"__s_{name}",
+            F.size(F.regexp_extract_all(F.col("__text"), F.lit(spark_re), 0)),
+        )
     for lang in LANG_ORDER:
         sw = STOPWORDS[lang]
         out = out.withColumn(
@@ -88,7 +136,13 @@ def language_id(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         take = n > best_n
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_n = F.when(take, n).otherwise(best_n)
-    return out.select(F.col(id_col), best.alias("lang_pred"))
+    pred = (
+        F.when(F.col("__s_kana") > 0, F.lit("ja"))
+        .when(F.col("__s_hangul") > 0, F.lit("ko"))
+        .when(F.col("__s_han") > 0, F.lit("zh"))
+        .otherwise(best)
+    )
+    return out.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def fingerprints(

@@ -335,6 +335,26 @@ def test_langid_on_planted_texts(spark):
     assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
 
 
+def test_langid_script_detection(spark):
+    """Script stage: kana→ja, hangul→ko, han→zh (kana beats han for mixed
+    Japanese text); Latin text falls through to the stopword vote."""
+    from sync2any_spark.pipeline.textstats import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "日本語のテキストです"),          # han + kana → ja
+            (2, "검색엔진 결과"),                 # hangul → ko
+            (3, "中文测试文本"),                  # han only → zh
+            (4, "the cat sat on the mat and it was good"),  # en stopwords
+            (5, "el perro y el gato en la casa"),           # es stopwords
+            (6, "xyzzy plugh"),                             # no evidence → und
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id(df, "doc_id").collect()}
+    assert got == {1: "ja", 2: "ko", 3: "zh", 4: "en", 5: "es", 6: "und"}
+
+
 def test_winnowing_fingerprints_overlap(spark):
     from sync2any_spark.pipeline.textstats import fingerprints
 
