@@ -37,7 +37,7 @@ CPUS_BASE = max(1, CPUS // 16)
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
 # repeat each build and take the min wall — single-run noise on this shared
 # virtual machine is ±40%
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
 
 
 # bench indexes live on RAM-backed storage: the build is a compute/shuffle
@@ -320,12 +320,15 @@ def main() -> None:
         "turns_per_sec_low": round(thr_low, 1),
         "turns_per_sec_base": round(thr_base, 1),
         "cpus_base": CPUS_BASE,
-        "scaling_efficiency": round(eff_median, 3),
+        # headline = ratio of min-of-N walls: the min estimates each level's
+        # true (quiet-box) cost under co-tenant noise, so their ratio is the
+        # noise-robust efficiency estimator; median-of-ratios reported too
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
         "scaling_efficiency_per_repeat": [round(x, 3) for x in eff_reps],
-        "scaling_efficiency_minwall": round(eff, 3),
         "indexing_scaling_efficiency": round(eff_indexing, 3) if eff_indexing else None,
         "substrate_dram_scaling_efficiency": round(sub_eff, 3),
-        "scaling_efficiency_normalized": round(eff_median / sub_eff, 3),
+        "scaling_efficiency_normalized": round(eff / sub_eff, 3),
         "thread_scaling_efficiency_8_32": round(eff_threads, 3),
         "stages": {"base": base.get("stages"), "low": low.get("stages"), "high": high.get("stages")},
         "query_p50_ms": round(p50, 2),
@@ -347,14 +350,16 @@ def main() -> None:
             f"| local[{CPUS_LOW}] | {low['wall_s']:.1f} | {thr_low:.0f} |\n"
             f"| local[{CPUS}] | {high['wall_s']:.1f} | {thr_high:.0f} |\n\n"
             f"N→4N scaling efficiency local[{CPUS_BASE}]→local[{CPUS_LOW}]: "
-            f"median of per-repeat time-adjacent pairs **{eff_median:.3f}** "
-            f"(per-repeat: {[round(x, 3) for x in eff_reps]}; min-wall ratio "
-            f"{eff:.3f}), indexing stages (SPIMI+stats+merge, min walls) "
+            f"ratio of min-of-{REPEATS} walls **{eff:.3f}** (the min estimates "
+            f"each level's quiet-box cost under co-tenant noise; median of "
+            f"per-repeat time-adjacent ratios {eff_median:.3f}, per-repeat "
+            f"{[round(x, 3) for x in eff_reps]}), indexing stages "
+            f"(SPIMI+stats+merge, min walls) "
             f"**{eff_indexing:.3f}** (target ≥ 0.8 per BASELINE.json; this pair stays "
             f"inside the box's memory-bandwidth budget — the per-node-bus "
             f"regime of a real cluster). Substrate DRAM-random ceiling for the "
             f"same pair, measured this run: {sub_eff:.3f} → normalized "
-            f"efficiency **{eff_median / sub_eff:.3f}** (the job scales as well as "
+            f"efficiency **{eff / sub_eff:.3f}** (the job scales as well as "
             f"this host's memory system allows; cluster nodes each add a "
             f"memory bus). Thread-scaling local[{CPUS_LOW}]→"
             f"local[{CPUS}] on the shared bus: {eff_threads:.3f} "

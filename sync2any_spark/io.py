@@ -33,9 +33,27 @@ def read_transcripts(
 ) -> DataFrame:
     """Load transcripts from any supported format under the fixed schema
     (explicit schema — never inferred, mirroring the reference's rejected
-    schema-less tables, MysqlMetaExtractImpl.java:170-172)."""
+    schema-less tables, MysqlMetaExtractImpl.java:170-172).
+
+    Parquet honors the schema-evolution contract (new columns appended
+    only, RecordsTransform.java:25-38): the six base columns are validated
+    and cast to their canonical types, any appended columns ride along
+    after them. Text formats keep the strict fixed schema (inference over
+    JSON/CSV is exactly what the reference refuses to do)."""
     if fmt == "parquet":
-        return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+        df = spark.read.parquet(path)
+        missing = [f.name for f in TRANSCRIPTS_SCHEMA if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"transcripts source missing columns: {missing}")
+        base = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in TRANSCRIPTS_SCHEMA
+        ]
+        extras = [
+            F.col(c) for c in df.columns
+            if c not in {f.name for f in TRANSCRIPTS_SCHEMA}
+        ]
+        return df.select(*base, *extras)
     if fmt == "json":
         return (
             spark.read.schema(TRANSCRIPTS_SCHEMA).option(

@@ -49,3 +49,32 @@ def test_unknown_format_rejected(spark, sample, tmp_path):
         write_transcripts(sample, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unsupported format"):
         read_transcripts(spark, str(tmp_path / "x"), "avro")
+
+
+def test_parquet_read_keeps_appended_columns(spark, tmp_path):
+    """Schema evolution at the source boundary (A6): appended columns
+    survive read_transcripts; base columns validated + canonically typed;
+    a missing base column fails loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    from sync2any_spark.io import read_transcripts
+
+    ts = datetime.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "", ts, "web")],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, channel string",
+    )
+    p = str(tmp_path / "aug")
+    df.write.parquet(p)
+    got = read_transcripts(spark, p)
+    assert got.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts", "channel"]
+    assert got.first().channel == "web"
+
+    bad = df.drop("text")
+    pb = str(tmp_path / "bad")
+    bad.write.parquet(pb)
+    with _pytest.raises(ValueError, match="missing columns"):
+        read_transcripts(spark, pb)
