@@ -566,6 +566,47 @@ def _q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the SELF-DISPATCHING planner (round-2 top ask)
+    forced onto its distributed leg (route_budget=0): ``search`` itself
+    must price the query off the term dictionary, pick
+    ``search_distributed``, and return a ranking identical to the same SQL
+    oracle — the dispatch is contract-gated, not just unit-tested."""
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx, route_budget=0)
+    hits = searcher.search("ok w0000", 10)
+    hit_df = spark.createDataFrame(hits, "doc_id long, score double")
+    return (
+        searcher._docs.join(F.broadcast(hit_df), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
+def _q_phrase_positional_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase through the FULLY DISTRIBUTED positional execution
+    (occurrence relations from the pos-bearing blocks, adjacency as JVM
+    joins on (doc_id, pos−j), TakeOrderedAndProject) — the leg a stop-word
+    phrase auto-routes to; only k rows reach the driver. Same oracle as
+    the algebra phrase query (closes round-2 Missing #3)."""
+    from sync2any_spark.query.phrase import phrase_topk_positional
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx)
+    hits = phrase_topk_positional(searcher, "中 文", 10, route="distributed")
+    if not hits:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    hit_df = spark.createDataFrame(hits, "doc_id long, score double")
+    return (
+        searcher._docs.join(F.broadcast(hit_df), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "phrase_match_documents": _q_phrase_match_documents,
@@ -606,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_transcripts": _q_bm25_topk_transcripts,
         "bm25_topk_indexed_transcripts": _q_bm25_indexed,
         "bm25_topk_distributed_transcripts": _q_bm25_distributed,
+        "bm25_topk_routed_transcripts": _q_bm25_routed,
+        "phrase_topk_positional_distributed_transcripts": (
+            _q_phrase_positional_distributed
+        ),
     }
 
 
@@ -1189,4 +1234,8 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_topk_positional_transcripts"] = out["phrase_topk_transcripts"]
     out["bm25_topk_indexed_transcripts"] = out["bm25_topk_transcripts"]
     out["bm25_topk_distributed_transcripts"] = out["bm25_topk_transcripts"]
+    out["bm25_topk_routed_transcripts"] = out["bm25_topk_transcripts"]
+    out["phrase_topk_positional_distributed_transcripts"] = out[
+        "phrase_topk_transcripts"
+    ]
     return out

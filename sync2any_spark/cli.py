@@ -106,6 +106,36 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Run the streaming increment consumer (A3). ``--from-offset`` is the
+    reference's PUT /offset reset (api/StateController.java:80-106): it sets
+    the Kafka startingOffsets AND, with ``--reset-checkpoint``, discards the
+    stream checkpoint so the (re)start actually honors the new position —
+    safe because increments are idempotent by key."""
+    import os
+    import shutil
+
+    from .streaming.stream import run_increment_stream
+
+    spark = _spark(args.cpus)
+    checkpoint = args.checkpoint or os.path.join(args.index, "_stream_checkpoint")
+    if args.reset_checkpoint:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    run_increment_stream(
+        spark,
+        args.index,
+        input_dir=args.input,
+        checkpoint_dir=checkpoint,
+        available_now=not args.follow,
+        source=args.source,
+        kafka_bootstrap=args.kafka_bootstrap,
+        kafka_topic=args.kafka_topic,
+        starting_offsets=args.from_offset,
+    )
+    print(json.dumps({"index": args.index, "checkpoint": checkpoint}))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Control-plane view over manifests/metrics (reference §3.3 dashboard)."""
     import os
@@ -174,6 +204,22 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("stream", help="streaming increment consumer")
+    st.add_argument("--index", required=True)
+    st.add_argument("--input", default=None, help="parquet inbox dir (files source)")
+    st.add_argument("--source", choices=["files", "kafka"], default="files")
+    st.add_argument("--kafka-bootstrap", default=None)
+    st.add_argument("--kafka-topic", default=None)
+    st.add_argument(
+        "--from-offset", default="earliest",
+        help='startingOffsets: "earliest", "latest", or a JSON offset map',
+    )
+    st.add_argument("--reset-checkpoint", action="store_true")
+    st.add_argument("--checkpoint", default=None)
+    st.add_argument("--follow", action="store_true",
+                    help="keep running (default drains available and stops)")
+    st.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("status", help="manifest/metrics dashboard")
     s.add_argument("--index", required=True)

@@ -237,12 +237,19 @@ def _conv_offsets(
     corpus.
     """
     spark = transcripts.sparkSession
+    # density needs all four: count, min=0, max=n-1 AND countDistinct=n —
+    # without the distinct check a duplicated key (turn_idx [0,1,1,3])
+    # passes and the broadcast fast path would assign duplicate doc_ids.
+    # countDistinct costs a distinct-pair shuffle of the two PK columns;
+    # the fused build avoids it entirely via the exact driver-side check
+    # in _conv_offsets_driver.
     convs = (
         transcripts.groupBy("conv_id")
         .agg(
             F.count("*").alias("n_turns"),
             F.min("turn_idx").alias("_mn"),
             F.max("turn_idx").alias("_mx"),
+            F.countDistinct("turn_idx").alias("_nd"),
         )
         .repartitionByRange(n_range_parts, "conv_id")
         .sortWithinPartitions("conv_id")
@@ -254,7 +261,10 @@ def _conv_offsets(
         F.count("*").alias("n"),
         F.sum(
             F.when(
-                (F.col("_mn") != 0) | (F.col("_mx") != F.col("n_turns") - 1), 1
+                (F.col("_mn") != 0)
+                | (F.col("_mx") != F.col("n_turns") - 1)
+                | (F.col("_nd") != F.col("n_turns")),
+                1,
             ).otherwise(0)
         ).alias("bad"),
     ).collect()
@@ -288,24 +298,88 @@ def _conv_offsets(
 BROADCAST_CONV_LIMIT = 20_000_000
 
 
-def _conv_offsets_driver(transcripts: DataFrame) -> "pd.Series | None":
-    """conv_id → first-doc-id offsets as a pandas Series, or None when the
-    fused path doesn't apply (non-dense turn_idx, or too many conversations
-    to hold driver-side).
+# sources at or below this row count compute conversation offsets with one
+# driver-side pyarrow read of the two PK columns (exact density check, no
+# Spark job, no job-latency floor); above it, the distributed agg path runs
+DRIVER_OFFSET_ROWS = int(os.environ.get("SPARK_GRAFT_DRIVER_OFFSET_ROWS", 30_000_000))
 
-    One corpus pass: a 2-column ``groupBy(conv_id)`` (map-side combined, so
-    the shuffle carries ~one row per conversation per task); the prefix sum
-    itself runs in numpy on the driver — for ≤BROADCAST_CONV_LIMIT
-    conversations that is a sort+cumsum over a few MB, far cheaper than a
-    range-repartition + window job. Density (turn_idx exactly 0..n-1) is
-    checked from the same aggregate.
+
+def source_row_count(source_path: str) -> int:
+    """Total rows of a parquet source from footer metadata only (one footer
+    read per file — the same metadata pass any scan planner pays)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(source_path):
+        files = [
+            os.path.join(source_path, f)
+            for f in os.listdir(source_path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [source_path]
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+
+def _offsets_from_pk(conv, turn: np.ndarray) -> "pd.Series | None":
+    """Exact conversation offsets from raw (conv_id, turn_idx) arrays, or
+    None when turn_idx is not dense 0..n-1 per conversation (gaps AND
+    duplicates both fail: after the per-conv sort the turn sequence must
+    equal 0,1,…,n-1 exactly)."""
+    codes, uniq = pd.factorize(conv, sort=True)
+    order = np.lexsort((turn, codes))
+    t_sorted = np.asarray(turn, dtype=np.int64)[order]
+    c_sorted = codes[order]
+    change = np.concatenate(([True], c_sorted[1:] != c_sorted[:-1]))
+    starts_idx = np.flatnonzero(change)
+    n_turns = np.diff(np.append(starts_idx, len(c_sorted)))
+    run_pos = np.arange(len(t_sorted), dtype=np.int64) - np.repeat(
+        starts_idx, n_turns
+    )
+    if not np.array_equal(t_sorted, run_pos):
+        return None
+    starts = np.zeros(len(uniq), dtype=np.int64)
+    if len(uniq) > 1:
+        starts[1:] = np.cumsum(n_turns)[:-1]
+    return pd.Series(starts, index=np.asarray(uniq), dtype=np.int64)
+
+
+def _conv_offsets_driver(
+    transcripts: DataFrame, source_path: "str | None" = None
+) -> "pd.Series | None":
+    """conv_id → first-doc-id offsets as a pandas Series, or None when the
+    fused path doesn't apply (non-dense or duplicated turn_idx, or too many
+    conversations to hold driver-side).
+
+    Two executions by source size:
+
+    - ``source_path`` given and ≤ DRIVER_OFFSET_ROWS rows (footer count):
+      ONE driver-side pyarrow read of the two PK columns; sort + cumsum in
+      numpy. Exact density check including duplicates (the sorted per-conv
+      turn sequence must be 0..n-1). No Spark job at all — this removes a
+      ~2 s fixed job floor per build at bench scale.
+    - otherwise: a 2-column ``groupBy(conv_id)`` (map-side combined) with a
+      ``countDistinct(turn_idx)`` duplicate guard; the prefix sum runs in
+      numpy on the driver for ≤BROADCAST_CONV_LIMIT conversations.
     """
+    if source_path is not None:
+        try:
+            n_rows = source_row_count(source_path)
+        except Exception:
+            n_rows = None
+        if n_rows is not None and n_rows <= DRIVER_OFFSET_ROWS:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(source_path).to_table(columns=["conv_id", "turn_idx"])
+            conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+            turn = tbl.column("turn_idx").to_numpy(zero_copy_only=False)
+            return _offsets_from_pk(conv, turn)
     agg = (
         transcripts.groupBy("conv_id")
         .agg(
             F.count("*").alias("n_turns"),
             F.min("turn_idx").alias("mn"),
             F.max("turn_idx").alias("mx"),
+            F.countDistinct("turn_idx").alias("nd"),
         )
         .limit(BROADCAST_CONV_LIMIT + 1)
         .toPandas()
@@ -313,7 +387,9 @@ def _conv_offsets_driver(transcripts: DataFrame) -> "pd.Series | None":
     if len(agg) > BROADCAST_CONV_LIMIT:
         return None
     if len(agg) and (
-        (agg["mn"] != 0).any() or (agg["mx"] != agg["n_turns"] - 1).any()
+        (agg["mn"] != 0).any()
+        or (agg["mx"] != agg["n_turns"] - 1).any()
+        or (agg["nd"] != agg["n_turns"]).any()
     ):
         return None
     agg = agg.sort_values("conv_id", kind="stable")
@@ -779,6 +855,14 @@ def build_chunks(
     - ``tokenizer="python"``: per-token Python dicts inside the kernel (the
       naive pandas-UDF spelling; kept as a cross-check).
     """
+    if store_positions and tokenizer not in ("pandas",):
+        # the jvm/python kernels pre-aggregate (doc, term, tf) and never see
+        # token positions — a silent pos=b"" chunk would crash much later in
+        # _merge_group with an opaque IndexError (ADVICE round 2)
+        raise ValueError(
+            f"store_positions=True requires tokenizer='pandas' (or the files/"
+            f"fused paths); tokenizer={tokenizer!r} cannot produce positions"
+        )
     part = F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions)).cast("int")
     done = completed_partitions(chunks_dir, prefix) if resume else set()
 
@@ -985,6 +1069,16 @@ def build_segments(
     names = [f"{os.path.basename(p)}:{lo}-{hi}" for p, lo, hi in spans]
     resume = _pin_worklist(paths.chunks, names, resume)
     done = completed_partitions(paths.chunks) if resume else set()
+    # the docs dir must hold EXACTLY one part file per span: anything else
+    # (a shrunk source, a changed span_mb, or a prior two-pass build with
+    # Spark-UUID file names) is stale and would serve duplicate rows that
+    # disagree with the manifest-derived n_docs/avgdl (ADVICE round 2)
+    expected = {f"part-{i:05d}.parquet" for i in range(len(spans))}
+    if os.path.isdir(paths.docs):
+        for n in os.listdir(paths.docs):
+            full = os.path.join(paths.docs, n)
+            if n not in expected and os.path.isfile(full):
+                os.remove(full)
     todo = [
         (i, p, lo, hi) for i, (p, lo, hi) in enumerate(spans) if i not in done
     ]
@@ -1078,6 +1172,78 @@ def build_term_stats(
     return chunks.groupBy("term").agg(
         F.sum("n_docs").cast("long").alias("df"), F.sum("cf").alias("cf")
     ).withColumn("bucket", bucket_expr("term", n_buckets))
+
+
+# chunk-term row budget for the driver-side terms aggregation: the chunk
+# manifests record n_terms per chunk, so the decision costs nothing. At or
+# below the budget the (term, n_docs, cf) columns are read with pyarrow and
+# aggregated in pandas — no Spark job, no ~2 s fixed floor; above it the
+# distributed groupBy runs (the 10^12-doc regime, where the vocabulary ×
+# chunk-count product no longer fits one machine).
+DRIVER_TERMS_ROWS = int(os.environ.get("SPARK_GRAFT_DRIVER_TERMS_ROWS", 30_000_000))
+
+
+def build_term_stats_driver(
+    chunks_dir: str, n_buckets: int, glob: str = "part-*.parquet"
+) -> "pd.DataFrame | None":
+    """terms(term, df, cf, bucket) aggregated driver-side with pyarrow, or
+    None when the chunk-term row count (from the manifests) exceeds
+    DRIVER_TERMS_ROWS. Output is identical to ``build_term_stats`` —
+    per-term integer sums are order-independent."""
+    import glob as globmod
+
+    import pyarrow.dataset as ds
+
+    prefix = glob.split("part-")[0]
+    mans = read_manifests(chunks_dir, prefix)
+    if mans and sum(m.get("n_terms", 0) for m in mans) > DRIVER_TERMS_ROWS:
+        return None
+    files = sorted(globmod.glob(os.path.join(chunks_dir, glob)))
+    if not files:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=object), "df": pd.Series([], dtype=np.int64),
+             "cf": pd.Series([], dtype=np.int64), "bucket": pd.Series([], dtype=np.int32)}
+        )
+    tbl = ds.dataset(files).to_table(columns=["term", "n_docs", "cf"])
+    pdf = tbl.to_pandas()
+    agg = (
+        pdf.groupby("term", sort=True)
+        .agg(df=("n_docs", "sum"), cf=("cf", "sum"))
+        .reset_index()
+    )
+    from .bucketing import bucket_of
+
+    agg["df"] = agg["df"].astype(np.int64)
+    agg["cf"] = agg["cf"].astype(np.int64)
+    agg["bucket"] = np.fromiter(
+        (bucket_of(t, n_buckets) for t in agg["term"]),
+        dtype=np.int32,
+        count=len(agg),
+    )
+    return agg
+
+
+def write_terms_driver(terms_pdf: "pd.DataFrame", out_dir: str) -> None:
+    """Write a driver-aggregated terms table as one parquet file (tmp→rename;
+    same relation ``spark.read.parquet`` serves as the Spark-written one)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "part-00000.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()),
+         ("cf", pa.int64()), ("bucket", pa.int32())]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(terms_pdf, schema=schema, preserve_index=False),
+        tmp, compression="zstd",
+    )
+    os.replace(tmp, path)
 
 
 _EMPTY_BLOCK_ROWS = {
@@ -1397,7 +1563,7 @@ def build_index(
             # (tiny corpora / coarse row groups), the two-pass path fans out
             # with one shuffle instead
             if len(plan_spans(source_path, span_mb)) >= n_partitions:
-                offsets = _conv_offsets_driver(transcripts)
+                offsets = _conv_offsets_driver(transcripts, source_path=source_path)
                 fused = offsets is not None
             if fused:
                 metrics.append(("offsets", "wall_s", time.time() - t0))
@@ -1478,9 +1644,22 @@ def build_index(
             metrics.append(("spimi", "partitions_built", float(built)))
 
         t3 = time.time()
-        terms = build_term_stats(spark, paths.chunks, n_buckets)
-        terms.write.mode("overwrite").parquet(paths.terms)
-        terms = spark.read.parquet(paths.terms)
+        # terms stage: driver pyarrow aggregation under the manifest-derived
+        # row budget (no Spark job — kills a fixed ~2 s floor that dragged
+        # the N→4N efficiency), distributed groupBy above it. The merge only
+        # needs the HEAVY terms (df > threshold) as a broadcast side — a few
+        # hundred rows either way.
+        terms_pdf = build_term_stats_driver(paths.chunks, n_buckets)
+        if terms_pdf is not None:
+            write_terms_driver(terms_pdf, paths.terms)
+            heavy_pdf = terms_pdf[terms_pdf["df"] > heavy_df_threshold]
+            terms = spark.createDataFrame(
+                heavy_pdf, schema="term string, df long, cf long, bucket int"
+            )
+        else:
+            terms = build_term_stats(spark, paths.chunks, n_buckets)
+            terms.write.mode("overwrite").parquet(paths.terms)
+            terms = spark.read.parquet(paths.terms)
         metrics.append(("terms", "wall_s", time.time() - t3))
 
         t4 = time.time()

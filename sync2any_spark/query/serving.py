@@ -163,10 +163,10 @@ class LocalSearcher:
         if len(ids_all) == 1:
             uniq, scores = ids, contrib  # single term: sorted & unique already
         else:
-            # dense doc ids → bincount scatter-add, compact to matched docs
-            full = np.bincount(ids, weights=contrib, minlength=int(ids.max()) + 1)
-            uniq = np.flatnonzero(full)
-            scores = full[uniq]
+            # per-doc sums sized by the match count (wand._group_sum)
+            from .wand import _group_sum
+
+            uniq, scores = _group_sum(ids, contrib)
         if k < len(uniq):
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             cand = np.flatnonzero(scores >= kth)

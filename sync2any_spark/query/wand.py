@@ -138,6 +138,27 @@ def _alive_mask(deleted: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return ~((idx < deleted.size) & (deleted[idx_c] == ids))
 
 
+def _group_sum(ids: np.ndarray, contrib: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(unique doc ids ascending, per-doc contribution sums) with allocation
+    proportional to the MATCH count, never the doc-id space.
+
+    Replaces the former ``np.bincount(ids, …, minlength=max(ids)+1)`` whose
+    dense accumulator scaled with the global doc-id space (8 GB per query on
+    a 10^9-doc shard even for a two-match query — round-2 What's-wrong #2).
+    A stable sort groups postings by doc preserving array order, and
+    ``np.add.reduceat`` adds within each group in that order. Per-doc sums
+    agree with the old scatter-add to the last ulp or so (reduceat is
+    strictly sequential; bincount may vectorize) — far inside the 1e-9
+    tolerance every cross-engine ranking test and the 6-dp contract
+    rounding use."""
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    svals = contrib[order]
+    change = np.concatenate(([True], sids[1:] != sids[:-1]))
+    starts = np.flatnonzero(change)
+    return sids[starts], np.add.reduceat(svals, starts)
+
+
 def _bmw_topk(
     cursors: list[_Cursor],
     k: int,
@@ -236,19 +257,41 @@ def _load_deletes(dirs: "list[str]") -> np.ndarray:
     return np.unique(np.concatenate(parts).astype(np.int64))
 
 
+# a query whose terms' summed live df exceeds this routes to the
+# distributed execution instead of collecting pruned blocks to the driver
+# (round-2 What's-wrong #1: a stop-word term's postings are TBs at 10^12
+# docs — the driver path is only valid for selective terms). The number is
+# postings, i.e. bytes-ish: 5×10^5 postings ≈ a few MB of blocks, the most
+# a latency-path driver fetch should ever pull.
+ROUTE_BUDGET = int(os.environ.get("SPARK_GRAFT_ROUTE_BUDGET", 500_000))
+
+
 class IndexSearcher:
     """Query-side handle on an index directory built by index.builder.
 
-    ``search`` issues exactly ONE Spark action per query: the bucket list is
-    computed driver-side (md5 bucketing, no job), term df is derived from
-    the collected blocks themselves (Σ n_docs per term — exact, because a
-    doc appears in exactly one block of one salted stream), and N/avgdl come
-    from meta.json at init. With ``cache=True`` the postings relation is
-    pinned in executor memory — the "warm index" a serving tier would hold.
+    **Self-dispatching planner**: every query's cost is known BEFORE any
+    scan — Σ df of its terms, read from the driver-resident term dictionary
+    (the terms table, loaded once via pyarrow: the same in-memory term
+    dictionary every search engine holds; a sharded deployment loads only
+    its buckets' rows). At or below ``route_budget`` postings the
+    low-latency driver path runs (pruned scan → collect → numpy); above it
+    the query routes to ``search_distributed``, whose shuffle carries only
+    (doc_id, contrib) partials — so a hot-term query can never pull an
+    unbounded posting list across the driver (round-2 What's-wrong #1).
+
+    ``search`` on the driver path issues exactly ONE Spark action per
+    query: the bucket list is computed driver-side (md5 bucketing, no job),
+    term df comes from the term dictionary, and N/avgdl come from meta.json
+    at init. With ``cache=True`` the postings relation is pinned in
+    executor memory — the "warm index" a serving tier would hold.
     """
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, cache: bool = False
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = False,
+        route_budget: int = ROUTE_BUDGET,
     ) -> None:
         from ..index.builder import (
             deletes_sources,
@@ -260,10 +303,13 @@ class IndexSearcher:
 
         self.spark = spark
         self.index_dir = index_dir
+        self.route_budget = route_budget
         self.meta = read_index_meta(index_dir)
         self.n_buckets = int(self.meta["n_buckets"])
         paths = IndexPaths(index_dir)
         tv = int(self.meta.get("terms_version", 0))
+        self._terms_path = paths.terms_v(tv)
+        self._df_map: "pd.Series | None" = None  # lazy term dictionary
         # live corpus stats from the committed stats version (increments
         # commit a new version atomically via meta.json)
         st = spark.read.parquet(paths.stats_v(tv)).first()
@@ -314,6 +360,22 @@ class IndexSearcher:
     def _qterms(self, query: str) -> list[str]:
         return list(dict.fromkeys(tokenize(query)))
 
+    def _term_dfs(self, terms: "list[str]") -> "dict[str, int]":
+        """Exact LIVE df per term from the driver-resident term dictionary
+        (terms table, pyarrow-loaded once — no Spark job; the table is
+        maintained exactly across increments, so this is always the live
+        df). Absent terms map to 0."""
+        if self._df_map is None:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(self._terms_path).to_table(columns=["term", "df"])
+            self._df_map = pd.Series(
+                tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64),
+                index=tbl.column("term").to_numpy(zero_copy_only=False),
+            )
+        m = self._df_map
+        return {t: int(m.get(t, 0)) for t in terms}
+
     def _pruned_blocks(self, qterms: list[str]) -> DataFrame:
         from ..index.bucketing import bucket_of
 
@@ -324,24 +386,40 @@ class IndexSearcher:
 
     # -- low-latency path -------------------------------------------------
     def search(
-        self, query: str, k: int = 10, engine: str = "vectorized"
+        self, query: str, k: int = 10, engine: str = "vectorized",
+        route: str = "auto",
     ) -> list[tuple[int, float]]:
-        """Driver-side top-k → [(doc_id, score)] rank-ordered.
+        """Top-k → [(doc_id, score)] rank-ordered, self-dispatching.
 
-        ``engine="vectorized"`` (default): decode every pruned block and
-        score with numpy — optimal when the blocks were collected anyway
-        (the Python-loop cost of WAND exceeds its decode savings here).
-        ``engine="bmw"``: block-max WAND with block skipping — the algorithm
-        a serving tier runs when block metadata lets it avoid *fetching*
-        blocks. Both return identical rankings (tested).
+        ``route="auto"`` (default): the term dictionary prices the query as
+        Σ df over its terms (driver-side, no scan); at or below
+        ``route_budget`` postings the driver path runs, above it the query
+        executes distributed (identical ranking — contract-gated) and only
+        k rows reach the driver. ``route="driver"``/``"distributed"`` force
+        a path (tests, diagnostics).
+
+        Driver path engines: ``engine="vectorized"`` (default) decodes
+        every pruned block and scores with numpy — optimal when the blocks
+        were collected anyway. ``engine="bmw"``: block-max WAND with block
+        skipping — the algorithm a serving tier runs when block metadata
+        lets it avoid *fetching* blocks. Both return identical rankings
+        (tested).
         """
         qterms = self._qterms(query)
         if not qterms:
             return []
+        dfs = self._term_dfs(qterms)
+        qterms = [t for t in qterms if dfs[t] > 0]
+        if not qterms:
+            return []
+        if route == "distributed" or (
+            route == "auto" and sum(dfs[t] for t in qterms) > self.route_budget
+        ):
+            rows = self.search_distributed(query, k).collect()
+            return [(int(r.doc_id), float(r.score)) for r in rows]
         pdf = self._pruned_blocks(qterms).select(*self._block_cols).toPandas()
         if pdf.empty:
             return []
-        dfs = self._live_dfs(pdf)
         if engine == "vectorized":
             return self._vectorized_topk(pdf, dfs, k)
         cursors: list[_Cursor] = []
@@ -401,11 +479,8 @@ class IndexSearcher:
             # the merge pass entirely
             uniq, scores = ids, contrib
         else:
-            # doc ids are dense → per-doc sums via bincount (C-speed scatter
-            # add), then compact to matched docs only
-            full = np.bincount(ids, weights=contrib, minlength=int(ids.max()) + 1)
-            uniq = np.flatnonzero(full)
-            scores = full[uniq]
+            # per-doc sums sized by the match count (see _group_sum)
+            uniq, scores = _group_sum(ids, contrib)
         if k < len(uniq):
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             cand = np.flatnonzero(scores >= kth)  # boundary ties included
@@ -414,36 +489,17 @@ class IndexSearcher:
         order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
         return [(int(uniq[i]), float(scores[i])) for i in order]
 
-    def _live_dfs(self, pdf) -> "dict[str, int]":
-        """Exact live df per term: Σ n_docs over blocks on a fresh snapshot
-        (no tombstones); from the maintained terms table once increments
-        have been applied (it tracks live df exactly)."""
-        if self.deleted.size == 0:
-            return {t: int(v) for t, v in pdf.groupby("term")["n_docs"].sum().items()}
-        terms = [str(t) for t in pdf["term"].unique()]
-        rows = self._terms.where(F.col("term").isin(terms)).collect()
-        return {r.term: int(r.df) for r in rows}
-
     # -- distributed path --------------------------------------------------
     def search_distributed(self, query: str, k: int = 10) -> DataFrame:
         """Cluster-side scoring: pruned scan → vectorized partial scores →
-        groupBy(doc_id).sum → TakeOrderedAndProject(k)."""
+        groupBy(doc_id).sum → TakeOrderedAndProject(k). Term weights come
+        from the driver term dictionary — the whole query is ONE job."""
         qterms = self._qterms(query)
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not qterms:
             return empty
-        pruned = self._pruned_blocks(qterms)
-        if self.deleted.size:
-            rows = self._terms.where(F.col("term").isin(qterms)).collect()
-            dfs = {r.term: int(r.df) for r in rows}
-        else:
-            dfs = {
-                r.term: int(r.df)
-                for r in pruned.groupBy("term")
-                .agg(F.sum("n_docs").alias("df"))
-                .collect()
-            }
+        dfs = self._term_dfs(qterms)
         qterms = [t for t in qterms if dfs.get(t, 0) > 0]
         if not qterms:
             return empty

@@ -279,6 +279,15 @@ def apply_increments(
 
     # --- delta segment postings (segment-owned dir, overwrite = retry-safe)
     prefix = f"seg{segment:03d}-"
+    # a crashed apply may have left chunk files for this (uncommitted)
+    # segment number behind; a retry with a DIFFERENT batch must not mix
+    # them in via resume (the manifests would mark those partitions done),
+    # so the segment's chunk namespace is wiped first — the delta rebuild
+    # is small by construction (ADVICE round 2)
+    import glob as globmod
+
+    for stale in globmod.glob(os.path.join(paths.chunks, f"{prefix}*")):
+        os.remove(stale)
     store_pos = bool(meta.get("store_positions", False))
     manifest = build_chunks(
         new_docs, paths.chunks, meta["n_partitions"], resume=True, prefix=prefix,
@@ -362,6 +371,20 @@ def vacuum(index_dir: str) -> "list[str]":
                     p = os.path.join(full, seg)
                     shutil.rmtree(p, ignore_errors=True)
                     removed.append(p)
+
+    # orphan delta-segment CHUNK files (segNNN-part-*) from crashed applies:
+    # intermediate by design, referenced by nothing once meta.json resolves
+    # the commit, and actively dangerous for a retry with a different batch
+    import re
+
+    chunks_dir = paths.chunks
+    if os.path.isdir(chunks_dir):
+        for name in sorted(os.listdir(chunks_dir)):
+            m = re.match(r"seg(\d+)-", name)
+            if m and int(m.group(1)) not in committed:
+                p = os.path.join(chunks_dir, name)
+                os.remove(p)
+                removed.append(p)
     return removed
 
 

@@ -7,20 +7,29 @@ Spark-native equivalent is a streaming source feeding ``foreachBatch``,
 where each micro-batch applies the same idempotent I/U/D merge the batch
 path uses (streaming.incremental.apply_increments):
 
-- **source**: here a file source (a directory new increment-parquet files
-  land in — the sandbox stand-in for the Kafka topic; swapping in
-  ``readStream.format("kafka")`` + a JSON/proto decode changes only
-  ``_read_stream``);
-- **ordering** (A5): inside a batch, the unique-key contract is enforced by
-  apply_increments; across batches the file source preserves arrival order
-  with ``maxFilesPerTrigger=1`` — the analog of the reference's
-  one-partition-per-topic ordering guidance (``README.md:157``);
+- **source**: a file source (a directory new increment-parquet files land
+  in — the sandbox stand-in for the Kafka topic) or a real
+  ``readStream.format("kafka")`` + JSON-envelope decode (needs a broker +
+  the spark-sql-kafka package on the cluster);
+- **ordering** (A5): inside a micro-batch, highest-offset-wins per
+  (conv_id, turn_idx) when the source carries offsets (Kafka), else
+  latest-by-ts. The dedup runs INSIDE ``foreachBatch`` — a batch DataFrame
+  — because a row_number window over a non-time column is not a legal
+  streaming transform (Spark rejects it at query start);
+- **message routing** (A6): the envelope carries ``messageType`` — DML rows
+  apply as increments, DDL CREATE-TABLE events register new tables against
+  the rule registry mid-stream, BEGIN/COMMIT/HEARTBEAT markers are skipped
+  (``extract/KafkaMsgListener.java:76-139``);
 - **exactly-once-ish** (§2.D): the streaming checkpoint records consumed
-  files; replayed batches are no-ops because upserts are idempotent by key
-  (the same redelivery tolerance the reference relies on,
+  files/offsets; replayed batches are no-ops because upserts are idempotent
+  by key (the same redelivery tolerance the reference relies on,
   ``load/impl/EsLoadServiceImpl.java:100-110``);
-- **backpressure**: ``maxFilesPerTrigger`` ≙ the reference's
-  MAX_POLL_RECORDS bound.
+- **backpressure**: ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` ≙ the
+  reference's MAX_POLL_RECORDS bound;
+- **offset reset**: ``starting_offsets`` parameterizes where a (re)started
+  stream begins — the reference's ``PUT /offset`` reset
+  (``api/StateController.java:80-106``); pair with a fresh
+  ``checkpoint_dir`` to force a replay from that point.
 """
 
 from __future__ import annotations
@@ -37,29 +46,35 @@ INCREMENT_SCHEMA = (
 )
 
 # the CDC envelope the reference's listener consumes: one JSON message per
-# changed row — op + commit timestamp + the row image
-# (extract/KafkaMsgListener.java:65-85 reads these fields off the record)
+# event — messageType routes it (DML row / DDL statement / txn marker), op +
+# commit timestamp + row image for DML, table name for DDL
+# (extract/KafkaMsgListener.java:65-139 reads these fields off the record)
 ENVELOPE_SCHEMA = (
-    "op string, ts string, data struct<conv_id string, turn_idx int, "
-    "role string, text string, tool string>"
+    "messageType string, op string, ts string, table string, "
+    "data struct<conv_id string, turn_idx int, role string, text string, "
+    "tool string>"
 )
+
+# txn/liveness markers: consumed for ack bookkeeping, never applied
+# (extract/KafkaMsgListener.java:76-90)
+MARKER_TYPES = ("BEGIN", "COMMIT", "HEARTBEAT")
 
 
 def decode_kafka_envelope(raw):
-    """Kafka records → INCREMENT_SCHEMA rows + per-key ordering guard.
+    """Kafka records → envelope rows (streaming-safe projection).
 
     ``raw`` has the Kafka source shape (key/value binary, topic, partition,
     offset, timestamp). The JSON value is parsed JVM-side (``from_json`` —
-    no Python in the hot path); within a micro-batch the HIGHEST offset per
-    (conv_id, turn_idx) wins, mirroring the reference's sequential
-    per-partition apply where the later binlog row overwrites
-    (``extract/KafkaMsgListener.java:65-85`` + the one-partition ordering
-    guidance, ``README.md:157``). Pure DataFrame transform — unit-testable
-    on a static DataFrame, identical plan under readStream.
+    no Python in the hot path). This is a pure per-row projection, legal
+    under ``readStream``: the per-key highest-offset-wins ordering guard
+    runs inside ``foreachBatch`` (see ``_dedup_batch``), where the
+    micro-batch is a plain batch DataFrame — a row_number window over a
+    non-time column would be rejected at streaming query start otherwise.
+    Keeps ``offset``/``messageType``/``table`` for the batch-side router.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    parsed = raw.select(
+    return raw.select(
         F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("m"),
         "offset",
     ).select(
@@ -70,14 +85,75 @@ def decode_kafka_envelope(raw):
         F.col("m.data.tool").alias("tool"),
         F.to_timestamp("m.ts").alias("ts"),
         F.col("m.op").alias("op"),
+        F.col("m.messageType").alias("messageType"),
+        F.col("m.table").alias("table"),
         "offset",
     )
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("offset").desc())
-    return (
-        parsed.withColumn("_rn", F.row_number().over(w))
+
+
+def _dedup_batch(batch_df):
+    """One op per key per micro-batch: highest offset wins when the source
+    carries offsets (Kafka ordering), else latest by (ts, op) — the same
+    latest-wins collapse as A19. Returns exactly INCREMENT_SCHEMA columns."""
+    from pyspark.sql import Window, functions as F
+
+    if "offset" in batch_df.columns:
+        order = [F.col("offset").desc()]
+    else:
+        order = [F.col("ts").desc(), F.col("op").desc()]
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(*order)
+    deduped = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "offset")
+        .drop("_rn")
     )
+    return deduped.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "op"
+    )
+
+
+def route_envelope_batch(spark, index_dir: str, batch_df, registry=None) -> dict:
+    """A6 message-type router over one micro-batch: markers skipped, DDL
+    CREATE-TABLE events registered against the rule registry, DML deduped
+    and applied as increments. Returns {"applied": …, "registered": […]}.
+
+    Envelopes without a ``messageType`` (plain-row sources) are DML — the
+    reference treats untyped records as row events."""
+    from pyspark.sql import functions as F
+
+    registered: list[str] = []
+    has_type = "messageType" in batch_df.columns
+    if has_type:
+        typed = batch_df.persist()
+        if registry is not None:
+            # DDL events are rare control rows — collecting the table names
+            # is a per-batch handful, never data-sized
+            ddl = (
+                typed.where(F.col("messageType") == "DDL")
+                .select("table")
+                .where(F.col("table").isNotNull())
+                .distinct()
+                .collect()
+            )
+            for r in ddl:
+                target = registry.register_table(r.table)
+                if target is not None:
+                    registered.append(r.table)
+        dml = typed.where(
+            F.col("messageType").isNull()
+            | ~F.col("messageType").isin("DDL", *MARKER_TYPES)
+        )
+    else:
+        dml = batch_df
+    deduped = _dedup_batch(dml)
+    if deduped.isEmpty():
+        if has_type:
+            typed.unpersist()
+        return {"applied": None, "registered": registered}
+    out = apply_increments(spark, index_dir, deduped)
+    if has_type:
+        typed.unpersist()
+    return {"applied": out, "registered": registered}
 
 
 def _read_stream(
@@ -87,16 +163,19 @@ def _read_stream(
     max_files_per_trigger: int = 1,
     kafka_bootstrap: str | None = None,
     kafka_topic: str | None = None,
+    starting_offsets: str = "earliest",
 ):
     """Streaming source factory: ``files`` (parquet-dir stand-in used in the
     sandbox) or ``kafka`` (the production path — envelope decode included;
-    needs a broker + the spark-sql-kafka package on the cluster)."""
+    needs a broker + the spark-sql-kafka package on the cluster).
+    ``starting_offsets`` is the offset-reset control: "earliest", "latest",
+    or a per-partition JSON offset map (the reference's PUT /offset)."""
     if source == "kafka":
         raw = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_bootstrap)
             .option("subscribe", kafka_topic)
-            .option("startingOffsets", "earliest")
+            .option("startingOffsets", starting_offsets)
             .option("maxOffsetsPerTrigger", 600)  # ≙ reference MAX_POLL_RECORDS
             .load()
         )
@@ -118,36 +197,28 @@ def run_increment_stream(
     source: str = "files",
     kafka_bootstrap: str | None = None,
     kafka_topic: str | None = None,
+    starting_offsets: str = "earliest",
+    registry=None,
 ):
     """Consume increment batches and maintain the index.
 
     With ``available_now=True`` (default — used in tests and backfills) the
     stream drains everything currently available and stops; a live
-    deployment passes False and a processing-time trigger.
+    deployment passes False and a processing-time trigger. ``registry`` (a
+    ``pipeline.rules.RuleRegistry``) activates the DDL branch: CREATE-TABLE
+    envelope events register new tables mid-stream.
     Returns the StreamingQuery (already awaited when available_now).
     """
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     src = _read_stream(
         spark, source, input_dir, max_files_per_trigger,
-        kafka_bootstrap, kafka_topic,
+        kafka_bootstrap, kafka_topic, starting_offsets,
     )
 
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # one op per key per micro-batch: keep the latest by ts then op
-        # priority (D last) — the same latest-wins collapse as A19
-        from pyspark.sql import Window, functions as F
-
-        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-            F.col("ts").desc(), F.col("op").desc()
-        )
-        deduped = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        apply_increments(spark, index_dir, deduped)
+        route_envelope_batch(spark, index_dir, batch_df, registry=registry)
 
     writer = (
         src.writeStream.foreachBatch(process)

@@ -278,3 +278,54 @@ def test_vacuum_removes_only_unreferenced(spark, transcripts_sf0001, increments,
     assert state[3] == [1, 2]  # both committed segments intact
     assert IndexSearcher(spark, idx).search("ok", 10) == before
     assert vacuum(idx) == []  # idempotent
+
+
+def test_crash_then_retry_with_different_batch(
+    spark, transcripts_sf0001, tmp_path_factory, monkeypatch
+):
+    """Round-2 ADVICE: a crashed apply leaves seg-prefixed chunk files
+    behind; retrying with a DIFFERENT batch must not mix the old batch's
+    chunks into the new segment (the resume manifests would otherwise mark
+    those partitions done). The retried index must equal a clean index that
+    only ever saw the second batch."""
+    import datetime
+
+    import sync2any_spark.streaming.incremental as inc_mod
+
+    crashed = str(tmp_path_factory.mktemp("idx_crash_diff"))
+    clean = str(tmp_path_factory.mktemp("idx_clean_diff"))
+    build_index(spark, transcripts_sf0001, crashed, resume=False, **PARAMS)
+    build_index(spark, transcripts_sf0001, clean, resume=False, **PARAMS)
+
+    ts = datetime.datetime(2026, 8, 2)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"
+    )
+    batch_a = spark.createDataFrame(
+        [("conv_aa000001", 0, "user", "abandoned batch text alpha", "", ts, "I")],
+        schema,
+    )
+    batch_b = spark.createDataFrame(
+        [("conv_bb000001", 0, "user", "surviving batch text beta", "", ts, "I")],
+        schema,
+    )
+
+    real = inc_mod._write_meta
+    monkeypatch.setattr(
+        inc_mod, "_write_meta",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError):
+        apply_increments(spark, crashed, batch_a)
+    monkeypatch.setattr(inc_mod, "_write_meta", real)
+
+    apply_increments(spark, crashed, batch_b)  # retry with a DIFFERENT batch
+    apply_increments(spark, clean, batch_b)
+
+    assert _index_state(spark, crashed) == _index_state(spark, clean)
+    # the abandoned batch's text must be unsearchable and its term absent
+    assert IndexSearcher(spark, crashed).search("alpha", 10) == []
+    got = IndexSearcher(spark, crashed).search("beta", 10)
+    want = IndexSearcher(spark, clean).search("beta", 10)
+    assert got == want and len(got) == 1

@@ -270,3 +270,20 @@ def test_schema_evolution_appended_column(spark, transcripts_sf0001, tmp_path_fa
     a = IndexSearcher(spark, plain).search("ok w0000", 10)
     b = IndexSearcher(spark, fused).search("ok w0000", 10)
     assert a == b
+
+
+def test_search_auto_routing_rank_identical(spark, index_dir):
+    """The self-dispatching planner (round-2 top ask): with a zero budget
+    every query routes to the distributed execution; rankings must be
+    identical to the forced driver path. With an infinite budget the driver
+    path runs; both must match the default searcher."""
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    routed = IndexSearcher(spark, index_dir, route_budget=0)
+    driver = IndexSearcher(spark, index_dir, route_budget=1 << 60)
+    for q in queries.itertuples(index=False):
+        a = routed.search(q.query_text, int(q.k))          # auto → distributed
+        b = driver.search(q.query_text, int(q.k))          # auto → driver
+        c = routed.search(q.query_text, int(q.k), route="driver")
+        assert [x[0] for x in a] == [x[0] for x in b] == [x[0] for x in c], q.query_text
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-9), q.query_text

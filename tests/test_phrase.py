@@ -196,3 +196,36 @@ def test_serving_tier_phrase(corpus, pos_index_dir):
     plain = LocalSearcher(pos_index_dir)
     with pytest.raises(ValueError, match="with_positions"):
         plain.search_phrase("中 文", 10)
+
+
+def test_phrase_positional_distributed_matches_oracle(
+    spark, corpus, phrases, pos_index_dir
+):
+    """The fully distributed positional execution (occurrence relations +
+    adjacency joins, only k rows to the driver) is rank/score-identical to
+    the oracle and to the driver-side numpy core — the scale path a
+    stop-word phrase routes to."""
+    from sync2any_spark.query.phrase import phrase_topk_positional
+
+    _, oracle, key_of = corpus
+    searcher = IndexSearcher(spark, pos_index_dir)
+    for phrase in phrases:
+        got = phrase_topk_positional(searcher, phrase, 10, route="distributed")
+        want = oracle.phrase_topk(phrase, 10)
+        assert [key_of[g[0]] for g in got] == [key_of[w[0]] for w in want], phrase
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), phrase
+
+
+def test_phrase_routing_auto_picks_distributed(spark, corpus, phrases, pos_index_dir):
+    """With a zero budget, auto-routing must take the distributed path for
+    every phrase — and stay rank-identical to the forced driver path."""
+    from sync2any_spark.query.phrase import phrase_topk_positional
+
+    searcher = IndexSearcher(spark, pos_index_dir, route_budget=0)
+    for phrase in phrases:
+        auto = phrase_topk_positional(searcher, phrase, 10)  # routes distributed
+        drv = phrase_topk_positional(searcher, phrase, 10, route="driver")
+        assert [a[0] for a in auto] == [d[0] for d in drv], phrase
+        for (_, gs), (_, ws) in zip(auto, drv):
+            assert gs == pytest.approx(ws, rel=1e-9), phrase

@@ -85,48 +85,161 @@ def test_stream_applies_batches_in_order(spark, transcripts_sf0001, tmp_path_fac
     assert spark.read.parquet(f"{idx}/docs").count() == n_docs_before
 
 
-def test_kafka_envelope_decode(spark):
-    """The Kafka-shaped ingestion path (stream._read_stream source="kafka"):
-    the JSON envelope decode + per-key highest-offset-wins ordering guard is
-    a pure DataFrame transform — validated here on a static DataFrame with
-    the exact Kafka source schema (no broker in the sandbox; the streaming
-    wrapper only swaps readStream.format("kafka") in front of this plan).
-    Reference semantics mirrored: extract/KafkaMsgListener.java:65-85."""
+KAFKA_RAW_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp"
+)
+
+
+def _kafka_msg(conv, turn, op, text, ts, offset, message_type=None, table=None):
     import json
 
-    from sync2any_spark.streaming.stream import decode_kafka_envelope
+    env = {
+        "op": op,
+        "ts": ts,
+        "data": {
+            "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": "",
+        },
+    }
+    if message_type is not None:
+        env["messageType"] = message_type
+    if table is not None:
+        env["table"] = table
+    key = f"{conv}_{turn}".encode() if conv else b"ctl"
+    return (key, json.dumps(env).encode(), "t", 0, offset, None)
 
-    def msg(conv, turn, op, text, ts, offset):
-        v = json.dumps(
-            {
-                "op": op,
-                "ts": ts,
-                "data": {
-                    "conv_id": conv, "turn_idx": turn, "role": "user",
-                    "text": text, "tool": "",
-                },
-            }
-        ).encode()
-        return (f"{conv}_{turn}".encode(), v, "t", 0, offset, None)
+
+def test_kafka_envelope_decode(spark):
+    """Envelope decode (stream._read_stream source="kafka") is a pure
+    per-row projection (streaming-legal); the highest-offset-wins ordering
+    guard runs batch-side in _dedup_batch. Reference semantics mirrored:
+    extract/KafkaMsgListener.java:65-85."""
+    from sync2any_spark.streaming.stream import _dedup_batch, decode_kafka_envelope
 
     raw = spark.createDataFrame(
         [
-            msg("c1", 0, "I", "first", "2026-01-01 00:00:00", 1),
-            msg("c1", 0, "U", "second wins", "2026-01-01 00:00:05", 2),
-            msg("c2", 3, "D", None, "2026-01-01 00:00:07", 3),
+            _kafka_msg("c1", 0, "I", "first", "2026-01-01 00:00:00", 1),
+            _kafka_msg("c1", 0, "U", "second wins", "2026-01-01 00:00:05", 2),
+            _kafka_msg("c2", 3, "D", None, "2026-01-01 00:00:07", 3),
         ],
-        "key binary, value binary, topic string, partition int, offset long, "
-        "timestamp timestamp",
+        KAFKA_RAW_SCHEMA,
     )
+    decoded = decode_kafka_envelope(raw)
+    # the projection keeps the router columns and drops nothing per key
+    assert decoded.count() == 3
     rows = {
-        (r.conv_id, r.turn_idx): r
-        for r in decode_kafka_envelope(raw).collect()
+        (r.conv_id, r.turn_idx): r for r in _dedup_batch(decoded).collect()
     }
     assert len(rows) == 2  # highest offset wins per key
     assert rows[("c1", 0)].op == "U"
     assert rows[("c1", 0)].text == "second wins"
     assert rows[("c1", 0)].ts is not None
     assert rows[("c2", 3)].op == "D"
-    # decoded schema is exactly the increment contract
-    cols = decode_kafka_envelope(raw).columns
+    # deduped schema is exactly the increment contract
+    cols = _dedup_batch(decoded).columns
     assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts", "op"]
+
+
+def test_kafka_shaped_stream_end_to_end(spark, transcripts_sf0001, tmp_path_factory):
+    """The envelope decode MUST be legal under readStream (round-2 ADVICE:
+    the old row_number dedup was rejected at streaming query start). Here
+    the exact Kafka-source schema is streamed from parquet files — the same
+    plan as source="kafka" minus the broker — through decode_kafka_envelope
+    + foreachBatch(route_envelope_batch), applying DML, registering a DDL
+    table mid-stream, and skipping txn markers."""
+    from sync2any_spark.pipeline.rules import RuleRegistry, SyncRule
+    from sync2any_spark.streaming.stream import (
+        decode_kafka_envelope,
+        route_envelope_batch,
+    )
+
+    idx = str(tmp_path_factory.mktemp("idx_kafka_stream"))
+    inbox = str(tmp_path_factory.mktemp("kafka_inbox"))
+    build_index(spark, transcripts_sf0001, idx, resume=False, **PARAMS)
+
+    msgs = [
+        _kafka_msg(None, None, None, None, "2026-01-01 00:00:00", 1,
+                   message_type="BEGIN"),
+        _kafka_msg("conv_kstream", 0, "I", "kafkaterm old", "2026-01-01 00:00:01", 2,
+                   message_type="DML"),
+        _kafka_msg("conv_kstream", 0, "U", "kafkaterm new", "2026-01-01 00:00:02", 3,
+                   message_type="DML"),
+        _kafka_msg(None, None, None, None, "2026-01-01 00:00:03", 4,
+                   message_type="DDL", table="transcripts_shard_42"),
+        _kafka_msg(None, None, None, None, "2026-01-01 00:00:04", 5,
+                   message_type="COMMIT"),
+    ]
+    spark.createDataFrame(msgs, KAFKA_RAW_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(inbox, "b1")
+    )
+
+    registry = RuleRegistry([SyncRule(table_pattern=r"transcripts_shard_\d+")])
+    raw = (
+        spark.readStream.schema(KAFKA_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(inbox, "*"))
+    )
+    decoded = decode_kafka_envelope(raw)  # must analyze under readStream
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        route_envelope_batch(spark, idx, batch_df, registry=registry)
+
+    q = (
+        decoded.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(idx, "_kafka_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = live_docs(spark, idx)
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in live.where(F.col("conv_id") == "conv_kstream").collect()
+    }
+    # highest offset won; markers did not become rows
+    assert got == {("conv_kstream", 0): "kafkaterm new"}
+    assert live.where(F.col("conv_id").isNull()).count() == 0
+    # the DDL event registered the new table against the rule registry
+    assert "transcripts_shard_42" in registry.active
+
+
+def test_stream_offset_reset_replay_is_noop(
+    spark, transcripts_sf0001, tmp_path_factory
+):
+    """Offset reset (the reference's PUT /offset, api/StateController.java:
+    80-106): restarting the stream from the beginning with a FRESH
+    checkpoint replays every batch — and the index is unchanged, because
+    increments are idempotent by key. This is the mid-topic-restart
+    contract: any starting offset ≤ the committed one is safe."""
+    idx = str(tmp_path_factory.mktemp("idx_reset"))
+    inbox = str(tmp_path_factory.mktemp("reset_inbox"))
+    build_index(spark, transcripts_sf0001, idx, resume=False, **PARAMS)
+
+    b1 = _batch(
+        spark,
+        [("conv_reset01", 0, "user", "resetterm question", "", TS, "I")],
+    )
+    b1.coalesce(1).write.parquet(os.path.join(inbox, "batch1"))
+    run_increment_stream(
+        spark, idx, os.path.join(inbox, "*"), available_now=True,
+        checkpoint_dir=os.path.join(idx, "_ckpt_a"),
+    )
+    live_before = {
+        (r.conv_id, r.turn_idx, r.text, r.doc_id)
+        for r in live_docs(spark, idx).collect()
+    }
+
+    # reset to earliest = new checkpoint dir → full replay
+    run_increment_stream(
+        spark, idx, os.path.join(inbox, "*"), available_now=True,
+        checkpoint_dir=os.path.join(idx, "_ckpt_b"),
+    )
+    live_after = {
+        (r.conv_id, r.turn_idx, r.text, r.doc_id)
+        for r in live_docs(spark, idx).collect()
+    }
+    assert live_after == live_before
