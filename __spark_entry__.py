@@ -231,7 +231,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         minhash_signatures(docs, "doc_id", h=12), "doc_id", h=12, bands=4
     )
-    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.2, candidates=cand)
+    # min_recall=0.0 is the EXPLICIT override the recall guard requires:
+    # 4-band/3-row recall at J=0.2 is ~3%, accepted here because this
+    # corpus's qualifying pairs are all J ≥ 0.9 (banding recall ≥ 0.995) —
+    # the all-pairs SQL oracle proves no pair was missed (hash-green row)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.2, candidates=cand,
+        candidate_bands=4, candidate_rows=3, min_recall=0.0,
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,9 +265,13 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sync2any_spark.pipeline.similarity import neardup_pairs_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # min_recall=0.0: guard override for this dataset — theoretical recall
+    # at cos=0.5 is ~0.63, but its qualifying pairs are near-identical
+    # vectors (cos ≈ 1, recall ≈ 1) and the exact all-pairs oracle proves
+    # the banded candidates missed none (hash-green row)
     return neardup_pairs_lsh(
         emb, "vec_id", "embedding", dim=64, threshold=0.5,
-        bands=128, rows_per_band=12, seed=7,
+        bands=128, rows_per_band=12, seed=7, min_recall=0.0,
     )
 
 

@@ -108,6 +108,35 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_recall(threshold: float, bands: int, rows: int) -> float:
+    """P(a pair at exactly Jaccard = ``threshold`` shares ≥1 LSH band) =
+    1 − (1 − t^r)^b — the standard banding S-curve. Pairs ABOVE the
+    threshold are caught with higher probability; this is the worst case
+    over the accepted range."""
+    return 1.0 - (1.0 - threshold**rows) ** bands
+
+
+def check_candidate_recall(
+    threshold: float, bands: int, rows: int, min_recall: float, kind: str
+) -> float:
+    """Refuse propose-then-verify configurations that silently lose pairs
+    (round-2 What's-wrong #4): if the banding's recall at the requested
+    threshold is below ``min_recall``, raise with the actual number — the
+    caller must either coarsen the banding or lower the threshold (or pass
+    ``min_recall=0.0`` to explicitly accept the loss, e.g. when the corpus
+    is known to contain only far-above-threshold pairs)."""
+    r = lsh_recall(threshold, bands, rows)
+    if r < min_recall:
+        raise ValueError(
+            f"{kind}: LSH banding ({bands} bands × {rows} rows) has recall "
+            f"{r:.4f} at threshold {threshold} < required {min_recall} — "
+            f"pairs near the threshold would be silently dropped. Use more "
+            f"bands / fewer rows, raise the threshold, or pass "
+            f"min_recall=0.0 to accept the loss explicitly."
+        )
+    return r
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -115,6 +144,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: "DataFrame | None" = None,
+    candidate_bands: "int | None" = None,
+    candidate_rows: "int | None" = None,
+    min_recall: float = 0.9,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact n-gram Jaccard ≥ threshold.
 
@@ -123,10 +155,29 @@ def ngram_jaccard_pairs(
     pairs: shingles are joined per candidate side, so the work is
     O(Σ candidate-pair shingles), never the raw shingle self-join. This is
     the scale shape — MinHash banding proposes, exact Jaccard disposes.
-    Without ``candidates`` the raw self-join runs (kept as the small-corpus
-    / test-oracle form; a boilerplate-heavy corpus makes it quadratic —
-    VERDICT.md What's-wrong #2).
+    Recall guard: pass the banding that produced the candidates
+    (``candidate_bands``/``candidate_rows``) and the call REFUSES
+    configurations whose recall at ``threshold`` is below ``min_recall``
+    (round-2 What's-wrong #4: threshold 0.2 over 4×3 banding has ~3%
+    recall — silently wrong); omitting the banding warns that recall is
+    unverifiable. Without ``candidates`` the raw self-join runs (exact,
+    kept as the small-corpus / test-oracle form).
     """
+    if candidates is not None:
+        if candidate_bands is not None and candidate_rows is not None:
+            check_candidate_recall(
+                threshold, candidate_bands, candidate_rows, min_recall,
+                "ngram_jaccard_pairs",
+            )
+        else:
+            import warnings
+
+            warnings.warn(
+                "ngram_jaccard_pairs: candidates given without "
+                "candidate_bands/candidate_rows — recall at the requested "
+                "threshold cannot be verified; pairs may be silently missing",
+                stacklevel=2,
+            )
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if candidates is not None:

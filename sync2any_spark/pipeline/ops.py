@@ -135,6 +135,78 @@ def threshold_alerts(
     return slow.unionByName(low_thr).select("stage", "key", "value", "reason")
 
 
+def alert_events(
+    metrics: DataFrame,
+    key: str = "delay_s",
+    threshold: float = 600.0,
+    suppress_s: float = 3600.0,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """A25 grouped alerting with recovery detection and a re-alert
+    suppression window (``MonitorTask.java:119-152``): per group (default:
+    ``stage``), a threshold breach opens an alert EPISODE — ALERT fires on
+    the first breaching observation, further breaches inside ``suppress_s``
+    of the episode anchor are suppressed, a breach after the window fires
+    RE_ALERT (re-anchoring per elapsed window), and the first observation
+    back under threshold fires RECOVERED.
+
+    Pure window algebra, no driver state: episodes are a running count of
+    breach starts (the classic gaps-and-islands sessionization), re-alert
+    slots are ``floor(Δt/suppress_s)`` within an episode — both computed in
+    one pass per group, so the operator scales to any metrics volume and is
+    deterministic on replays (the reference keeps this state in mutable
+    maps; a replayed monitor here emits identical events).
+
+    Input: observations ``(group_cols…, key, value, ts)``; output:
+    ``(group_cols…, ts, value, event)`` for event ∈ ALERT, RE_ALERT,
+    RECOVERED."""
+    group_cols = group_cols or ["stage"]
+    obs = metrics.where(F.col("key") == key).select(
+        *group_cols, "value", "ts",
+        (F.col("value") > threshold).alias("breach"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("ts")
+    state = (
+        obs.withColumn("prev_breach", F.lag("breach", 1, False).over(w))
+        # episode id: running count of breach-starts; rows before the first
+        # breach get episode 0, which never emits
+        .withColumn(
+            "episode",
+            F.sum(
+                (F.col("breach") & ~F.col("prev_breach")).cast("int")
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    we = Window.partitionBy(*group_cols, "episode").orderBy("ts")
+    slotted = (
+        state.withColumn(
+            "ep_start", F.first(F.when(F.col("breach"), F.col("ts"))).over(we)
+        )
+        .withColumn(
+            "slot",
+            F.floor(
+                (F.col("ts").cast("double") - F.col("ep_start").cast("double"))
+                / F.lit(float(suppress_s))
+            ),
+        )
+        .withColumn("prev_slot", F.lag("slot", 1).over(we))
+    )
+    alerts = slotted.where(
+        F.col("breach")
+        & (F.col("prev_slot").isNull() | (F.col("slot") != F.col("prev_slot"))
+           | ~F.col("prev_breach"))
+    ).select(
+        *group_cols, "ts", "value",
+        F.when(F.col("prev_breach"), F.lit("RE_ALERT"))
+        .otherwise(F.lit("ALERT"))
+        .alias("event"),
+    )
+    recoveries = state.where(~F.col("breach") & F.col("prev_breach")).select(
+        *group_cols, "ts", "value", F.lit("RECOVERED").alias("event")
+    )
+    return alerts.unionByName(recoveries)
+
+
 def typed_cast(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     """A9 scalar casts with null→0 default for numerics, mirroring the
     ClickHouse coercion (``load/impl/CkLoadServiceImpl.java:228-276``)."""

@@ -128,16 +128,31 @@ def neardup_pairs_lsh(
     rows_per_band: int = 12,
     seed: int = 7,
     max_band_size: int = 10_000,
+    min_recall: float = 0.9,
 ) -> DataFrame:
     """(id_a, id_b, cos) near-duplicate pairs ≥ threshold — the scale shape:
     banded LSH proposes candidate pairs (join on (band, key), skew-capped
     like the MinHash path), exact cosine disposes. No crossJoin anywhere.
 
     Recall is 1-(1-p^r)^b with p = 1-θ/π; at real near-dup thresholds
-    (cos ≥ 0.85) the default 128×12 gives recall ≈ 1. The exact crossJoin
+    (cos ≥ 0.85) the default 128×12 gives recall ≈ 1. Recall guard
+    (round-2 What's-wrong #4): the call REFUSES (threshold, bands, rows)
+    combinations whose recall falls below ``min_recall`` — pass
+    ``min_recall=0.0`` to accept the loss explicitly. The exact crossJoin
     form (``neardup_pairs``) is retained as the test oracle, and tests
     assert equality on the reference dataset.
     """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    recall = 1.0 - (1.0 - p**rows_per_band) ** bands
+    if recall < min_recall:
+        raise ValueError(
+            f"neardup_pairs_lsh: sign-LSH ({bands} bands × {rows_per_band} "
+            f"rows) has recall {recall:.4f} at cos ≥ {threshold} < required "
+            f"{min_recall} — use more bands / fewer rows per band, raise "
+            f"the threshold, or pass min_recall=0.0 to accept the loss."
+        )
     keys = rp_lsh_band_keys(df, id_col, vec_col, dim, bands, rows_per_band, seed)
     sizes = keys.groupBy("band", "key").agg(F.count("*").alias("sz"))
     bounded = keys.join(

@@ -32,8 +32,76 @@ BLOCK_COLS = [
 ]
 
 
+def _topk(uniq: np.ndarray, scores: np.ndarray, k: int) -> "list[tuple[int, float]]":
+    """Exact top-k with the engine-wide tie-break (score desc, doc asc)."""
+    if k < len(uniq):
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= kth)
+    else:
+        cand = np.arange(len(uniq))
+    order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+class ShardedSearcher:
+    """Coordinator over bucket-disjoint LocalSearchers — the multi-node
+    serving deployment in code: each shard loads ONLY its buckets' postings
+    and answers with per-doc PARTIAL sums for the query terms it owns; the
+    coordinator sums partials by doc and takes the global top-k. Rank- and
+    score-identical to one unsharded node (tested on the full query set):
+    summing term contributions across shards is exactly the distributed-
+    BM25 aggregation, whereas a rank-only merge would drop docs whose score
+    splits across shards. Shard fan-out per query is bounded by the query's
+    bucket set — a coordinator contacts only the owners of the terms'
+    buckets."""
+
+    def __init__(self, shards: "list[LocalSearcher]") -> None:
+        self.shards = shards
+
+    @classmethod
+    def build(cls, index_dir: str, n_shards: int) -> "ShardedSearcher":
+        """Split the index's buckets round-robin over n_shards nodes."""
+        from ..index.builder import read_index_meta
+
+        n_buckets = int(read_index_meta(index_dir)["n_buckets"])
+        return cls(
+            [
+                LocalSearcher(
+                    index_dir, buckets=list(range(s, n_buckets, n_shards))
+                )
+                for s in range(n_shards)
+            ]
+        )
+
+    def search(self, query: str, k: int = 10) -> "list[tuple[int, float]]":
+        parts = [s.partial_scores(query) for s in self.shards]
+        parts = [(i, c) for i, c in parts if i.size]
+        if not parts:
+            return []
+        ids = np.concatenate([i for i, _ in parts])
+        contrib = np.concatenate([c for _, c in parts])
+        from .wand import _group_sum
+
+        uniq, scores = _group_sum(ids, contrib)
+        return _topk(uniq, scores, k)
+
+
 class LocalSearcher:
-    def __init__(self, index_dir: str, with_positions: bool = False) -> None:
+    """One serving node. ``buckets`` restricts the node to a subset of the
+    hive ``bucket=`` partitions — the shard unit of the serving deployment:
+    every term (its whole posting list) lives in exactly one bucket, so a
+    node loads only its buckets' blocks and terms rows, and the fleet's RAM
+    splits cleanly by bucket. Cross-shard queries are answered by
+    ``ShardedSearcher``, which sums per-doc partials (a multi-term query's
+    terms can hash to different buckets, so a rank-only merge would be
+    wrong — partial SUMS are exchanged, exactly like distributed BM25)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        with_positions: bool = False,
+        buckets: "list[int] | None" = None,
+    ) -> None:
         import pyarrow.dataset as ds
 
         from ..index.builder import (
@@ -50,17 +118,23 @@ class LocalSearcher:
         st = ds.dataset(paths.stats_v(tv)).to_table().to_pandas().iloc[0]
         self.n_docs = int(st.n_docs)
         self.avgdl = float(st.avgdl)
+        self.buckets = sorted(buckets) if buckets is not None else None
         # the serving node pins only the scoring columns unless it also
         # serves match_phrase (then the pos column loads too — Lucene's
         # .pos, columnar)
         cols = BLOCK_COLS + ["pos"] if with_positions else BLOCK_COLS
         self._with_positions = with_positions
+        bucket_filter = (
+            ds.field("bucket").isin(self.buckets)
+            if self.buckets is not None
+            else None
+        )
         pdirs = postings_sources(index_dir, self.meta)
         if pdirs:
             blocks = pd.concat(
                 [
                     ds.dataset(d, partitioning="hive")
-                    .to_table(columns=cols)
+                    .to_table(columns=cols, filter=bucket_filter)
                     .to_pandas()
                     for d in pdirs
                 ],
@@ -82,7 +156,9 @@ class LocalSearcher:
         self.deleted = _load_deletes(deletes_sources(index_dir, self.meta))
         self._live_df: dict[str, int] | None = None
         if self.deleted.size:
-            tdf = ds.dataset(paths.terms_v(tv)).to_table().to_pandas()
+            tdf = ds.dataset(paths.terms_v(tv)).to_table(
+                filter=bucket_filter
+            ).to_pandas()
             self._live_df = dict(zip(tdf["term"], tdf["df"].astype(int)))
 
     def _term_blocks(self, term: str) -> "pd.DataFrame | None":
@@ -135,7 +211,25 @@ class LocalSearcher:
             return self._bmw(groups, k)
         return self._vectorized(groups, k)
 
-    def _vectorized(self, groups, k: int) -> "list[tuple[int, float]]":
+    def partial_scores(self, query: str) -> "tuple[np.ndarray, np.ndarray]":
+        """(doc_ids, per-doc partial BM25 sums) for THIS node's share of the
+        query's terms — the scatter half of the sharded execution. A term's
+        entire posting list is in one bucket, so per-term contributions are
+        complete here; the coordinator sums partials across nodes."""
+        qterms = list(dict.fromkeys(tokenize(query)))
+        groups = [(t, self._term_blocks(t)) for t in qterms]
+        groups = [(t, g) for t, g in groups if g is not None]
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+        if not groups:
+            return empty
+        ids, contrib = self._partials(groups)
+        if ids.size == 0:
+            return empty
+        from .wand import _group_sum
+
+        return _group_sum(ids, contrib)
+
+    def _partials(self, groups) -> "tuple[np.ndarray, np.ndarray]":
         ids_all, contrib_all = [], []
         for term, g in groups:
             df = self._df_of(term, g)
@@ -150,7 +244,7 @@ class LocalSearcher:
             ids_all.append(ids)
             contrib_all.append(w * tfs / (tfs + K1 * (1.0 - B + B * dls / self.avgdl)))
         if not ids_all:
-            return []
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         ids = np.concatenate(ids_all)
         contrib = np.concatenate(contrib_all)
         if self.deleted.size:
@@ -158,22 +252,20 @@ class LocalSearcher:
 
             alive = _alive_mask(self.deleted, ids)
             ids, contrib = ids[alive], contrib[alive]
-            if ids.size == 0:
-                return []
-        if len(ids_all) == 1:
+        return ids, contrib
+
+    def _vectorized(self, groups, k: int) -> "list[tuple[int, float]]":
+        ids, contrib = self._partials(groups)
+        if ids.size == 0:
+            return []
+        if len({t for t, _ in groups}) == 1 and self.deleted.size == 0:
             uniq, scores = ids, contrib  # single term: sorted & unique already
         else:
             # per-doc sums sized by the match count (wand._group_sum)
             from .wand import _group_sum
 
             uniq, scores = _group_sum(ids, contrib)
-        if k < len(uniq):
-            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-            cand = np.flatnonzero(scores >= kth)
-        else:
-            cand = np.arange(len(uniq))
-        order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
-        return [(int(uniq[i]), float(scores[i])) for i in order]
+        return _topk(uniq, scores, k)
 
     def _bmw(self, groups, k: int) -> "list[tuple[int, float]]":
         cursors: list[_Cursor] = []

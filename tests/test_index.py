@@ -287,3 +287,26 @@ def test_search_auto_routing_rank_identical(spark, index_dir):
         assert [x[0] for x in a] == [x[0] for x in b] == [x[0] for x in c], q.query_text
         for (_, sa), (_, sb) in zip(a, b):
             assert sa == pytest.approx(sb, rel=1e-9), q.query_text
+
+
+def test_sharded_serving_matches_unsharded(spark, index_dir):
+    """ShardedSearcher (round-2 Next #7): bucket-disjoint serving nodes,
+    coordinator sums per-doc partials — rank- AND score-identical to one
+    unsharded node on the full reference query set. Also proves each shard
+    really loaded only its buckets."""
+    from sync2any_spark.query.serving import LocalSearcher, ShardedSearcher
+
+    whole = LocalSearcher(index_dir)
+    sharded = ShardedSearcher.build(index_dir, 2)
+    # disjoint RAM: no block is loaded twice, union is the whole index
+    n0 = len(sharded.shards[0]._blocks)
+    n1 = len(sharded.shards[1]._blocks)
+    assert n0 > 0 and n1 > 0 and n0 + n1 == len(whole._blocks)
+
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    for q in queries.itertuples(index=False):
+        got = sharded.search(q.query_text, int(q.k))
+        want = whole.search(q.query_text, int(q.k))
+        assert [g[0] for g in got] == [w[0] for w in want], q.query_text
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q.query_text

@@ -125,3 +125,51 @@ def test_rule_registry_fanin_and_ddl_registration(spark):
     assert reg.register_table("audit_log") is None
     # first-match-wins: events_02 resolves to rule 0, not the orders rule
     assert reg.resolve("events_02").table_pattern == r"events_\d+"
+
+
+def test_alert_events_breach_suppress_realert_recover(spark):
+    """A25 grouped alerting (MonitorTask.java:119-152): ALERT on first
+    breach, suppression inside the window, RE_ALERT past it, RECOVERED on
+    the first healthy observation; independent per group; deterministic on
+    replay."""
+    import datetime
+
+    from sync2any_spark.pipeline.ops import alert_events
+
+    t0 = datetime.datetime(2026, 8, 1, 12, 0, 0)
+
+    def row(stage, minutes, value):
+        return (stage, "delay_s", float(value),
+                t0 + datetime.timedelta(minutes=minutes))
+
+    rows = [
+        # stage A: breach at 0 (ALERT), 5' and 30' suppressed (window 60'),
+        # 70' still breaching (RE_ALERT), 80' healthy (RECOVERED),
+        # 90' breach again (new episode → ALERT)
+        row("a", 0, 900), row("a", 5, 950), row("a", 30, 920),
+        row("a", 70, 910), row("a", 80, 10), row("a", 90, 905),
+        # stage B: never breaches → no events
+        row("b", 0, 5), row("b", 45, 7),
+    ]
+    metrics = spark.createDataFrame(
+        rows, "stage string, key string, value double, ts timestamp"
+    )
+    events = alert_events(
+        metrics, key="delay_s", threshold=600.0, suppress_s=3600.0
+    )
+    got = sorted(
+        ((r.stage, int((r.ts - t0).total_seconds() // 60), r.event)
+         for r in events.collect())
+    )
+    assert got == [
+        ("a", 0, "ALERT"),
+        ("a", 70, "RE_ALERT"),
+        ("a", 80, "RECOVERED"),
+        ("a", 90, "ALERT"),
+    ]
+    # replay determinism: same input → same events
+    again = sorted(
+        ((r.stage, int((r.ts - t0).total_seconds() // 60), r.event)
+         for r in alert_events(metrics, threshold=600.0, suppress_s=3600.0).collect())
+    )
+    assert again == got

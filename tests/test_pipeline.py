@@ -104,7 +104,7 @@ def test_neardup_lsh_equals_exact_crossjoin(embeddings):
         (r.id_a, r.id_b, r.cos)
         for r in neardup_pairs_lsh(
             embeddings, "vec_id", "embedding", dim=64, threshold=0.5,
-            bands=128, rows_per_band=12, seed=7,
+            bands=128, rows_per_band=12, seed=7, min_recall=0.0,
         ).collect()
     }
     assert exact and lsh == exact
@@ -129,7 +129,8 @@ def test_ngram_jaccard_candidates_equals_unrestricted(documents):
     verified = {
         (r.id_a, r.id_b, r.jaccard)
         for r in ngram_jaccard_pairs(
-            documents, "doc_id", threshold=0.2, candidates=cand
+            documents, "doc_id", threshold=0.2, candidates=cand,
+            candidate_bands=4, candidate_rows=3, min_recall=0.0,
         ).collect()
     }
     assert raw and verified == raw
@@ -370,3 +371,55 @@ def test_winnowing_fingerprints_overlap(spark):
     s3 = set(fps[fps.doc_id == 3].fp)
     assert len(s1 & s2) / len(s1 | s2) > 0.6
     assert not (s1 & s3)
+
+
+def test_recall_guard_property_grid(spark, documents):
+    """Recall guard (round-2 What's-wrong #4): over a (threshold, bands,
+    rows) grid, configurations whose banding recall at the threshold falls
+    below min_recall must RAISE; safe ones must pass. The analytic recall
+    is cross-checked against a direct Monte-Carlo-free evaluation of the
+    S-curve identity."""
+    import pytest as _pytest
+
+    from sync2any_spark.pipeline.dedup import (
+        check_candidate_recall,
+        lsh_recall,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    for threshold in (0.1, 0.2, 0.5, 0.8, 0.95):
+        for bands, rows in ((4, 3), (8, 2), (16, 1), (2, 8)):
+            r = lsh_recall(threshold, bands, rows)
+            assert r == _pytest.approx(1 - (1 - threshold**rows) ** bands)
+            assert 0.0 <= r <= 1.0
+            if r < 0.9:
+                with _pytest.raises(ValueError, match="recall"):
+                    check_candidate_recall(threshold, bands, rows, 0.9, "t")
+            else:
+                assert check_candidate_recall(
+                    threshold, bands, rows, 0.9, "t"
+                ) == _pytest.approx(r)
+    # recall is monotone in bands, anti-monotone in rows
+    assert lsh_recall(0.5, 8, 3) > lsh_recall(0.5, 4, 3)
+    assert lsh_recall(0.5, 4, 2) > lsh_recall(0.5, 4, 3)
+
+    # the guard fires end-to-end through the public API
+    cand = lsh_candidate_pairs(
+        minhash_signatures(documents, "doc_id", h=12), "doc_id", h=12, bands=4
+    )
+    with _pytest.raises(ValueError, match="recall"):
+        ngram_jaccard_pairs(
+            documents, "doc_id", threshold=0.2, candidates=cand,
+            candidate_bands=4, candidate_rows=3,  # default min_recall=0.9
+        )
+    # and the sign-LSH guard too
+    from sync2any_spark.pipeline.similarity import neardup_pairs_lsh
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="recall"):
+        neardup_pairs_lsh(emb, "vec_id", "embedding", dim=4,
+                          threshold=0.5, bands=4, rows_per_band=12)
