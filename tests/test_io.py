@@ -78,3 +78,55 @@ def test_parquet_read_keeps_appended_columns(spark, tmp_path):
     bad.write.parquet(pb)
     with _pytest.raises(ValueError, match="missing columns"):
         read_transcripts(spark, pb)
+
+
+def test_build_through_rename_less_filesystem(spark, transcripts_sf0001, tmp_path_factory):
+    """Object-store write protocol (round-2 What's-wrong #3): the whole
+    build runs with every task-side write going through a pyarrow
+    FileSystem in rename-less mode (direct PUT to the final key, manifest
+    last) — and the result is query-identical to the default POSIX build.
+    No .tmp- files may survive either build."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    from sync2any_spark.index.builder import build_index
+    from sync2any_spark.index.fswrite import WriteFS
+    from sync2any_spark.query.wand import IndexSearcher
+
+    params = dict(n_partitions=8, n_buckets=8, n_salts=4,
+                  heavy_df_threshold=500, resume=False)
+    plain = str(tmp_path_factory.mktemp("idx_posix"))
+    objs = str(tmp_path_factory.mktemp("idx_objstore"))
+    build_index(spark, transcripts_sf0001, plain, **params)
+    # rename-less: LocalFileSystem but with the object-store protocol —
+    # exercises the direct-PUT branch of every kernel
+    wfs = WriteFS(pafs.LocalFileSystem(), atomic_rename=False)
+    build_index(spark, transcripts_sf0001, objs, filesystem=wfs, **params)
+
+    for root, _dirs, files in os.walk(objs):
+        assert not any(".tmp-" in f for f in files), (root, files)
+
+    a = IndexSearcher(spark, plain)
+    b = IndexSearcher(spark, objs)
+    for q in ("ok", "ok w0000", "中 文", "hot1 hot2", "zzzzmissing"):
+        assert a.search(q, 10) == b.search(q, 10), q
+    assert a.n_docs == b.n_docs and a.avgdl == b.avgdl
+
+    # the FUSED one-pass build writes docs files task-side too — run it
+    # through the same rename-less filesystem (span_mb=0 → one span per
+    # row group so the fused path actually engages on the tiny corpus)
+    from sync2any_spark.generator import ensure_transcripts
+
+    src = ensure_transcripts("sf0.001")
+    fused = str(tmp_path_factory.mktemp("idx_objstore_fused"))
+    build_index(
+        spark, spark.read.parquet(src), fused, filesystem=wfs,
+        source_path=src, span_mb=0, n_partitions=4, n_buckets=8,
+        n_salts=4, heavy_df_threshold=500, resume=False,
+    )
+    for root, _dirs, files in os.walk(fused):
+        assert not any(".tmp-" in f for f in files), (root, files)
+    c = IndexSearcher(spark, fused)
+    for q in ("ok", "ok w0000", "中 文"):
+        assert a.search(q, 10) == c.search(q, 10), q

@@ -423,3 +423,79 @@ def test_recall_guard_property_grid(spark, documents):
     with _pytest.raises(ValueError, match="recall"):
         neardup_pairs_lsh(emb, "vec_id", "embedding", dim=4,
                           threshold=0.5, bands=4, rows_per_band=12)
+
+
+def test_video_codec_roundtrip_and_sampling(spark):
+    """AVI container codec (videocodec): encode→decode is the identity for
+    random RGB frames incl. odd widths (stride padding); frame sampling
+    honors every_n; garbage and compressed streams are rejected loudly —
+    sample_frames(fake=False) is a REAL decoder (round-2 Missing #4)."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.multimodal import sample_frames
+    from sync2any_spark.pipeline.videocodec import (
+        decode_avi_frames,
+        encode_avi_raw,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w, n in ((6, 8, 3), (5, 7, 2), (1, 1, 1)):
+        frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+        blob = encode_avi_raw(frames, fps=10)
+        meta, out = decode_avi_frames(blob)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, n)
+        assert all(np.array_equal(img, f) for (_, img), f in zip(out, frames))
+    frames = [rng.integers(0, 256, (4, 4, 3)).astype(np.uint8) for _ in range(5)]
+    _, sampled = decode_avi_frames(encode_avi_raw(frames), every_n=2)
+    assert [i for i, _ in sampled] == [0, 2, 4]
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"plain text, definitely not a container")
+    mjpg = bytearray(encode_avi_raw(frames))
+    p = mjpg.find(b"vids") + 4
+    mjpg[p : p + 4] = b"MJPG"
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        parse_avi(bytes(mjpg))
+
+    # through the Spark operator: md5 over DECODED pixels, not raw bytes
+    import hashlib
+
+    blob = encode_avi_raw(frames[:2], fps=10)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    rows = sorted(
+        sample_frames(df, fake=False).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 1]
+    assert rows[0].frame_md5 == hashlib.md5(frames[0].tobytes()).hexdigest()
+    assert rows[0].n_bytes == frames[0].nbytes
+
+
+def test_video_frame_features_closed_form(spark):
+    """attach_video_blob pixels follow a closed form; the decoded per-frame
+    channel means must equal the direct numpy evaluation of that form."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.multimodal import (
+        attach_video_blob,
+        video_frame_features,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = {
+        (r.doc_id, r.frame_idx): (r.mean_r, r.mean_g, r.mean_b, r.width, r.height)
+        for r in video_frame_features(attach_video_blob(ids, "doc_id")).collect()
+    }
+    x = np.arange(8)[None, :, None]
+    y = np.arange(6)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    for i in range(7):
+        n_frames = 2 + i % 3
+        for f in range(n_frames):
+            px = (i * 7 + f * 13 + x * 5 + y * 3 + c * 11) % 256
+            mr, mg, mb, w, h = got[(i, f)]
+            assert (w, h) == (8, 6)
+            assert mr == pytest.approx(px[:, :, 0].mean(), abs=1e-6)
+            assert mg == pytest.approx(px[:, :, 1].mean(), abs=1e-6)
+            assert mb == pytest.approx(px[:, :, 2].mean(), abs=1e-6)
+        assert (i, n_frames) not in got  # frame count honored
