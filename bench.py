@@ -124,6 +124,9 @@ def phase_query(cpus: int, out_path: str) -> None:
     searcher = IndexSearcher(spark, idx, cache=True)
     queries = pq.read_table(ensure_queries()).to_pandas()
 
+    # Measures IndexSearcher.search = the self-dispatching driver path
+    # (round 3: direct pyarrow block fetch, zero Spark jobs under the route
+    # budget; hot-term queries auto-route to the distributed execution).
     # min-of-N per query + spread: same-day p99 swung 3.6× between round-1
     # runs (co-tenant noise) — reporting min isolates the engine's own cost,
     # and the recorded spread says how much to trust any cross-round delta
@@ -367,7 +370,8 @@ def main() -> None:
             f"local[{CPUS}] on the shared bus: {eff_threads:.3f} "
             f"(substrate ceiling ≈ 0.31 for DRAM-random work, see header).\n\n"
             f"Query latency over {len(lat)} reference queries, warm, "
-            f"min-of-3 per query: Spark scan path p50 {p50:.1f} ms / p99 "
+            f"min-of-3 per query: driver query path (pyarrow fetch, "
+            f"auto-routed) p50 {p50:.1f} ms / p99 "
             f"{p99:.1f} ms (p90 worst/best spread {spark_spread}×); serving "
             f"tier (RAM-resident, single node) p50 {lp50:.2f} ms / p99 "
             f"{lp99:.2f} ms (spread {local_spread}×)\n"

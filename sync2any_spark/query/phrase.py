@@ -274,16 +274,9 @@ def phrase_topk_positional(
     ):
         top = phrase_topk_positional_distributed(searcher, phrase, k).collect()
         return [(int(r.doc_id), float(r.score)) for r in top]
-    from ..index.bucketing import bucket_of
-
-    buckets = sorted({bucket_of(t, searcher.n_buckets) for t in uniq})
-    pdf = (
-        searcher._postings_full.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
-        )
-        .select(*searcher._block_cols, "pos")
-        .toPandas()
-    )
+    # driver leg: direct pyarrow fetch of the pos-bearing pruned blocks —
+    # no Spark job; the budget above bounds the fetch
+    pdf = searcher._pruned_blocks_pandas(uniq, with_pos=True)
     if pdf.empty or pdf["term"].nunique() < len(uniq):
         return []  # some phrase term absent entirely
 

@@ -258,12 +258,12 @@ def _load_deletes(dirs: "list[str]") -> np.ndarray:
 
 
 # a query whose terms' summed live df exceeds this routes to the
-# distributed execution instead of collecting pruned blocks to the driver
+# distributed execution instead of reading pruned blocks driver-side
 # (round-2 What's-wrong #1: a stop-word term's postings are TBs at 10^12
 # docs — the driver path is only valid for selective terms). The number is
-# postings, i.e. bytes-ish: 5×10^5 postings ≈ a few MB of blocks, the most
-# a latency-path driver fetch should ever pull.
-ROUTE_BUDGET = int(os.environ.get("SPARK_GRAFT_ROUTE_BUDGET", 500_000))
+# postings: 10^7 postings ≈ ~25 MB of compressed blocks — a bounded,
+# sub-second pyarrow fetch; anything larger belongs on the cluster.
+ROUTE_BUDGET = int(os.environ.get("SPARK_GRAFT_ROUTE_BUDGET", 10_000_000))
 
 
 class IndexSearcher:
@@ -279,11 +279,13 @@ class IndexSearcher:
     (doc_id, contrib) partials — so a hot-term query can never pull an
     unbounded posting list across the driver (round-2 What's-wrong #1).
 
-    ``search`` on the driver path issues exactly ONE Spark action per
-    query: the bucket list is computed driver-side (md5 bucketing, no job),
-    term df comes from the term dictionary, and N/avgdl come from meta.json
-    at init. With ``cache=True`` the postings relation is pinned in
-    executor memory — the "warm index" a serving tier would hold.
+    The driver path issues ZERO Spark jobs by default: bucket list driver-
+    side (md5, no job), df from the term dictionary, N/avgdl from meta.json
+    at init, and the pruned blocks fetched by a direct pyarrow read
+    (``scan="pyarrow"`` — bucket partitions + term row-group pruning, any
+    pyarrow filesystem). ``scan="spark"`` keeps the Spark scan; with
+    ``cache=True`` that relation is pinned in executor memory — the "warm
+    index" a serving tier would hold.
     """
 
     def __init__(
@@ -310,6 +312,7 @@ class IndexSearcher:
         tv = int(self.meta.get("terms_version", 0))
         self._terms_path = paths.terms_v(tv)
         self._df_map: "pd.Series | None" = None  # lazy term dictionary
+        self._pa_datasets = None  # lazy pyarrow handles on the postings dirs
         # live corpus stats from the committed stats version (increments
         # commit a new version atomically via meta.json)
         st = spark.read.parquet(paths.stats_v(tv)).first()
@@ -384,10 +387,42 @@ class IndexSearcher:
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
         )
 
+    def _pruned_blocks_pandas(
+        self, qterms: "list[str]", with_pos: bool = False
+    ) -> pd.DataFrame:
+        """Pruned blocks fetched with a DIRECT pyarrow read — no Spark job,
+        no JVM→Python serialization. The same pruning the Spark scan gets:
+        ``bucket=`` hive partitions limit the files touched, the term
+        predicate prunes row groups via parquet column stats (merge output
+        is term-sorted within each file, so the stats are tight). This is
+        metadata-scale I/O — only the query terms' blocks are read — and
+        works against any pyarrow filesystem (local, S3, GCS). Bounded by
+        the route budget: above it the query never takes this path."""
+        import pyarrow.dataset as ds
+
+        from ..index.builder import postings_sources
+        from ..index.bucketing import bucket_of
+
+        if self._pa_datasets is None:
+            self._pa_datasets = [
+                ds.dataset(d, partitioning="hive")
+                for d in postings_sources(self.index_dir, self.meta)
+            ]
+        cols = self._block_cols + (["pos"] if with_pos else [])
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in qterms})
+        filt = ds.field("bucket").isin(buckets) & ds.field("term").isin(qterms)
+        parts = [
+            d.to_table(columns=cols, filter=filt).to_pandas()
+            for d in self._pa_datasets
+        ]
+        if not parts:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(parts, ignore_index=True)
+
     # -- low-latency path -------------------------------------------------
     def search(
         self, query: str, k: int = 10, engine: str = "vectorized",
-        route: str = "auto",
+        route: str = "auto", scan: str = "pyarrow",
     ) -> list[tuple[int, float]]:
         """Top-k → [(doc_id, score)] rank-ordered, self-dispatching.
 
@@ -398,12 +433,15 @@ class IndexSearcher:
         k rows reach the driver. ``route="driver"``/``"distributed"`` force
         a path (tests, diagnostics).
 
-        Driver path engines: ``engine="vectorized"`` (default) decodes
-        every pruned block and scores with numpy — optimal when the blocks
-        were collected anyway. ``engine="bmw"``: block-max WAND with block
-        skipping — the algorithm a serving tier runs when block metadata
-        lets it avoid *fetching* blocks. Both return identical rankings
-        (tested).
+        Driver path scan: ``scan="pyarrow"`` (default) reads the pruned
+        blocks directly (bucket partitions + term row-group pruning, C++
+        reader, no Spark job — the budget-bounded fetch is a few MB);
+        ``scan="spark"`` keeps the Spark scan (the cached-relation path).
+        Engines: ``engine="vectorized"`` (default) decodes every pruned
+        block and scores with numpy — optimal when the blocks were fetched
+        anyway. ``engine="bmw"``: block-max WAND with block skipping — the
+        algorithm a serving tier runs when block metadata lets it avoid
+        *fetching* blocks. All paths return identical rankings (tested).
         """
         qterms = self._qterms(query)
         if not qterms:
@@ -417,7 +455,10 @@ class IndexSearcher:
         ):
             rows = self.search_distributed(query, k).collect()
             return [(int(r.doc_id), float(r.score)) for r in rows]
-        pdf = self._pruned_blocks(qterms).select(*self._block_cols).toPandas()
+        if scan == "pyarrow":
+            pdf = self._pruned_blocks_pandas(qterms)
+        else:
+            pdf = self._pruned_blocks(qterms).select(*self._block_cols).toPandas()
         if pdf.empty:
             return []
         if engine == "vectorized":
@@ -533,8 +574,13 @@ class IndexSearcher:
                         }
                     )
 
-        partials = self._pruned_blocks(qterms).mapInPandas(
-            score_blocks, schema="doc_id long, contrib double"
+        # scoring needs 4 columns — projecting BEFORE the kernel keeps the
+        # pos column (comparable in bytes to the postings themselves on a
+        # positional index) and the block metadata out of the scan entirely
+        partials = (
+            self._pruned_blocks(qterms)
+            .select("term", "doc_ids", "tfs", "dls")
+            .mapInPandas(score_blocks, schema="doc_id long, contrib double")
         )
         scored = partials.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -310,3 +310,15 @@ def test_sharded_serving_matches_unsharded(spark, index_dir):
         assert [g[0] for g in got] == [w[0] for w in want], q.query_text
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-12), q.query_text
+
+
+def test_pyarrow_scan_equals_spark_scan(spark, index_dir):
+    """The default driver fetch is a direct pyarrow read (zero Spark jobs);
+    it must return exactly the Spark-scan path's blocks → identical
+    rankings and scores for the full query set, both engines."""
+    searcher = IndexSearcher(spark, index_dir, route_budget=1 << 60)
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    for q in queries.itertuples(index=False):
+        a = searcher.search(q.query_text, int(q.k))                # pyarrow
+        b = searcher.search(q.query_text, int(q.k), scan="spark")  # spark
+        assert a == b, q.query_text
