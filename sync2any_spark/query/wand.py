@@ -142,15 +142,22 @@ def _group_sum(ids: np.ndarray, contrib: np.ndarray) -> "tuple[np.ndarray, np.nd
     """(unique doc ids ascending, per-doc contribution sums) with allocation
     proportional to the MATCH count, never the doc-id space.
 
-    Replaces the former ``np.bincount(ids, …, minlength=max(ids)+1)`` whose
-    dense accumulator scaled with the global doc-id space (8 GB per query on
-    a 10^9-doc shard even for a two-match query — round-2 What's-wrong #2).
-    A stable sort groups postings by doc preserving array order, and
-    ``np.add.reduceat`` adds within each group in that order. Per-doc sums
-    agree with the old scatter-add to the last ulp or so (reduceat is
-    strictly sequential; bincount may vectorize) — far inside the 1e-9
-    tolerance every cross-engine ranking test and the 6-dp contract
-    rounding use."""
+    Replaces the former unconditional ``np.bincount(ids, …,
+    minlength=max(ids)+1)`` whose dense accumulator scaled with the global
+    doc-id space (8 GB per query on a 10^9-doc shard even for a two-match
+    query — round-2 What's-wrong #2). Adaptive, allocation always
+    O(matches): when the OBSERVED id span is within 4× the match count a
+    span-offset bincount runs (C-speed scatter-add, accumulator ≤ 32
+    bytes/match); otherwise a stable sort + ``np.add.reduceat``. Per-doc
+    sums agree across the variants to the last ulp or so (float-sum
+    reassociation) — far inside the 1e-9 tolerance every cross-engine
+    ranking test and the 6-dp contract rounding use."""
+    lo = int(ids.min())
+    span = int(ids.max()) - lo + 1
+    if span <= 4 * ids.size:
+        full = np.bincount(ids - lo, weights=contrib, minlength=span)
+        uniq = np.flatnonzero(full)
+        return uniq + lo, full[uniq]
     order = np.argsort(ids, kind="stable")
     sids = ids[order]
     svals = contrib[order]
