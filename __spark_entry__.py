@@ -635,6 +635,46 @@ def _q_phrase_positional_distributed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_alert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 grouped alert lifecycle (MonitorTask parity) over the events
+    table shaped as a metrics stream: ALERT on first breach per group,
+    suppression inside the 6 h window, RE_ALERT past it, RECOVERED on the
+    first healthy row — the full episode state machine, oracle-replayed in
+    SQL window algebra (episodes = gaps-and-islands running sum)."""
+    from sync2any_spark.pipeline.ops import alert_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    metrics = ev.select(
+        F.col("event_type").alias("stage"),
+        F.lit("delay_s").alias("key"),
+        "value",
+        "ts",
+    )
+    out = alert_events(metrics, key="delay_s", threshold=18.0, suppress_s=21600.0)
+    return out.select(
+        "stage", "ts", F.round("value", 6).alias("value"), "event"
+    )
+
+
+def _q_bm25_sharded_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the SHARDED serving tier: three bucket-disjoint
+    LocalSearchers (each loads only its hive bucket partitions) answer with
+    per-doc partial sums; the coordinator adds them and takes the global
+    top-k — held to the same SQL oracle as every other BM25 execution, so
+    a wrong merge (e.g. rank-only) fails the hash."""
+    from sync2any_spark.query.serving import ShardedSearcher
+    from sync2any_spark.query.wand import IndexSearcher
+
+    idx = _contract_index(spark, sf_dir)
+    hits = ShardedSearcher.build(idx, 3).search("ok w0000", 10)
+    searcher = IndexSearcher(spark, idx)
+    hit_df = spark.createDataFrame(hits, "doc_id long, score double")
+    return (
+        searcher._docs.join(F.broadcast(hit_df), "doc_id")
+        .select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "phrase_match_documents": _q_phrase_match_documents,
@@ -680,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positional_distributed_transcripts": (
             _q_phrase_positional_distributed
         ),
+        "bm25_topk_sharded_serving_transcripts": _q_bm25_sharded_serving,
+        "alert_events_events": _q_alert_events,
     }
 
 
@@ -1287,7 +1329,56 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_indexed_transcripts"] = out["bm25_topk_transcripts"]
     out["bm25_topk_distributed_transcripts"] = out["bm25_topk_transcripts"]
     out["bm25_topk_routed_transcripts"] = out["bm25_topk_transcripts"]
+    out["bm25_topk_sharded_serving_transcripts"] = out["bm25_topk_transcripts"]
     out["phrase_topk_positional_distributed_transcripts"] = out[
         "phrase_topk_transcripts"
     ]
+    # A25 grouped alert lifecycle: the same episode state machine
+    # (gaps-and-islands running sum → episode anchor → suppression slots)
+    # replayed in DuckDB window algebra over the identical observations
+    out["alert_events_events"] = """
+        WITH obs AS (
+          SELECT event_type AS stage, value, ts, value > 18.0 AS breach
+          FROM events
+        ),
+        st AS (
+          SELECT *,
+                 coalesce(lag(breach) OVER (PARTITION BY stage ORDER BY ts),
+                          false) AS prev_breach
+          FROM obs
+        ),
+        ep AS (
+          SELECT *,
+                 sum(CASE WHEN breach AND NOT prev_breach THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY stage ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS episode
+          FROM st
+        ),
+        anch AS (
+          SELECT *,
+                 min(CASE WHEN breach THEN ts END)
+                   OVER (PARTITION BY stage, episode) AS ep_start
+          FROM ep
+        ),
+        slotted AS (
+          SELECT *,
+                 floor((epoch(ts) - epoch(ep_start)) / 21600.0) AS slot
+          FROM anch
+        ),
+        lagged AS (
+          SELECT *,
+                 lag(slot) OVER (PARTITION BY stage, episode ORDER BY ts)
+                   AS prev_slot
+          FROM slotted
+        )
+        SELECT stage, ts, round(value, 6) AS value,
+               CASE WHEN prev_breach THEN 'RE_ALERT' ELSE 'ALERT' END AS event
+        FROM lagged
+        WHERE breach AND (prev_slot IS NULL OR slot != prev_slot
+                          OR NOT prev_breach)
+        UNION ALL
+        SELECT stage, ts, round(value, 6) AS value, 'RECOVERED' AS event
+        FROM st
+        WHERE NOT breach AND prev_breach
+    """
     return out

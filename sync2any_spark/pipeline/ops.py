@@ -178,14 +178,23 @@ def alert_events(
         )
     )
     we = Window.partitionBy(*group_cols, "episode").orderBy("ts")
+    # episode anchor = min breach ts of the episode (the episode partition
+    # BEGINS at its breach row, so this equals "first row's ts" — spelled
+    # as a min so the SQL oracle can express it identically)
+    wep = Window.partitionBy(*group_cols, "episode")
     slotted = (
         state.withColumn(
-            "ep_start", F.first(F.when(F.col("breach"), F.col("ts"))).over(we)
+            "ep_start", F.min(F.when(F.col("breach"), F.col("ts"))).over(wep)
         )
         .withColumn(
             "slot",
+            # NTZ-safe epoch seconds (session tz is pinned UTC, so the
+            # ntz→ltz hop is identity and matches DuckDB's epoch())
             F.floor(
-                (F.col("ts").cast("double") - F.col("ep_start").cast("double"))
+                (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("ep_start").cast("timestamp").cast("double")
+                )
                 / F.lit(float(suppress_s))
             ),
         )
