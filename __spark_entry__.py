@@ -635,6 +635,20 @@ def _q_phrase_positional_distributed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 lag/throughput metrics: per-conversation delay between the
+    newest source event and a pinned index-build time (the reference's
+    lastSyncTime − lastDataManipulateTime, KafkaMsgListener.java:276-283)."""
+    from sync2any_spark.pipeline.ops import lag_metrics
+
+    t = spark.read.parquet(transcripts_path(sf_tag(sf_dir)))
+    out = lag_metrics(t, indexed_at="2026-01-01 00:00:00")
+    return out.select(
+        "conv_id", "last_event_ts", "n_turns",
+        F.round("delay_s", 6).alias("delay_s"),
+    )
+
+
 def _q_alert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A25 grouped alert lifecycle (MonitorTask parity) over the events
     table shaped as a metrics stream: ALERT on first breach per group,
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk_sharded_serving_transcripts": _q_bm25_sharded_serving,
         "alert_events_events": _q_alert_events,
+        "lag_metrics_transcripts": _q_lag_metrics,
     }
 
 
@@ -1333,6 +1348,16 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_topk_positional_distributed_transcripts"] = out[
         "phrase_topk_transcripts"
     ]
+    # A24 per-conversation lag vs a pinned index time
+    out["lag_metrics_transcripts"] = f"""
+        SELECT conv_id,
+               max(ts) AS last_event_ts,
+               count(*)::BIGINT AS n_turns,
+               round(epoch(TIMESTAMP '2026-01-01 00:00:00')
+                     - epoch(max(ts)), 6) AS delay_s
+        FROM {tsrc}
+        GROUP BY conv_id
+    """
     # A25 grouped alert lifecycle: the same episode state machine
     # (gaps-and-islands running sum → episode anchor → suppression slots)
     # replayed in DuckDB window algebra over the identical observations

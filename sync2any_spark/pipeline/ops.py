@@ -111,7 +111,10 @@ def lag_metrics(
         F.max("ts").alias("last_event_ts"),
         F.count("*").alias("n_turns"),
     ).withColumn(
-        "delay_s", (now.cast("double") - F.col("last_event_ts").cast("double"))
+        "delay_s",
+        # NTZ-safe epoch seconds (session tz pinned UTC)
+        now.cast("double")
+        - F.col("last_event_ts").cast("timestamp").cast("double"),
     )
 
 
