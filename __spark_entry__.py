@@ -394,6 +394,31 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_flat(rest, "vec_id", "embedding", qv, n_centroids=8, k=10, n_probe=4)
 
 
+def _q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a REAL kmeans quantizer: ``ivf_fit_sample`` (pure-numpy
+    Lloyd over the id-sorted corpus sample — the fit-on-a-sample shape IVF
+    uses at scale) fits the centroids, then the distributed search runs
+    (``ivf_assign`` mapInPandas cell assignment → probe-cell semi-join →
+    exact cosine TakeOrderedAndProject). The oracle carries the identical
+    fitted centroids as literals (same function, same bytes) and replays
+    assignment, probing, and the candidate-restricted top-k in SQL — the
+    kmeans variant is no longer pytest-only (round-2 note)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sync2any_spark.pipeline.similarity import ivf_fit_sample, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    rest = emb.where(F.col("vec_id") != 0)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas().sort_values("vec_id")
+    pdf = pdf[pdf["vec_id"] != 0]
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centroids = ivf_fit_sample(vecs, n_centroids=8, n_iters=4)
+    return ivf_topk(rest, "vec_id", "embedding", qv, centroids, k=10, n_probe=4)
+
+
 def _q_docs_table_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable dense doc-id assignment (two-level prefix sum) — oracle is a
     plain rank over the composite PK."""
@@ -714,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_documents": _q_video_frames,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "docs_table_transcripts": _q_docs_table_transcripts,
         "bm25_topk_documents": _q_bm25_topk_documents,
         "term_stats_documents": _q_term_stats_documents,
@@ -940,6 +966,63 @@ ORDER BY cos DESC, vec_id LIMIT {k}
 """
 
 
+def _ann_ivf_kmeans_sql(n_probe: int = 4, k: int = 10) -> str:
+    """SQL replay of the kmeans-IVF search: the fitted centroids (the SAME
+    ``ivf_fit_sample`` run over the same parquet bytes the Spark query
+    uses) ride as VALUES literals; assignment / probing / verification are
+    the flat-quantizer SQL with the literal centroid relation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sync2any_spark.pipeline.similarity import ivf_fit_sample
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pdf = tbl.to_pandas().sort_values("vec_id")
+    pdf = pdf[pdf["vec_id"] != 0]
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = ivf_fit_sample(vecs, n_centroids=8, n_iters=4)
+    rows = ", ".join(
+        f"({cid}, {i + 1}, {cents[cid, i]!r})"
+        for cid in range(cents.shape[0])
+        for i in range(cents.shape[1])
+    )
+    return f"""
+WITH {_EMB_UNNEST},
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+cent(cid, i, v) AS (VALUES {rows}),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cent GROUP BY cid),
+dots AS (
+  SELECT e.vec_id, c.cid, sum(e.v * c.v) AS d
+  FROM e JOIN cent c USING (i) GROUP BY e.vec_id, c.cid
+),
+cc AS (
+  SELECT dots.vec_id, dots.cid, d / (va.n * cn.n) AS cos
+  FROM dots JOIN vn va ON va.vec_id = dots.vec_id JOIN cn ON cn.cid = dots.cid
+),
+assign AS (
+  SELECT vec_id, (array_agg(cid ORDER BY cos DESC, cid ASC))[1] AS cl
+  FROM cc WHERE vec_id != 0 GROUP BY vec_id
+),
+probes AS (
+  SELECT cid FROM cc WHERE vec_id = 0 ORDER BY cos DESC, cid ASC LIMIT {n_probe}
+),
+cand AS (SELECT vec_id FROM assign WHERE cl IN (SELECT cid FROM probes)),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dot, sqrt(sum(e.v * e.v)) AS na
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+),
+nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+SELECT vec_id, round(dot / (na * nq.nq), 6) AS cos
+FROM s CROSS JOIN nq
+ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tpath = transcripts_path("sf0.01")
     tsrc = f"read_parquet('{tpath}')"
@@ -1033,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_documents": _minhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
         # synthetic 8×8 BMP per doc with pixel(y,x,c) = (id·7+x·5+y·3+c·11)%256;
         # BMP size = 14 + 40 + 8·(8·3 padded to 4) = 246 bytes
         "image_decode_features": """

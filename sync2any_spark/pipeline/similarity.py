@@ -297,7 +297,9 @@ def ivf_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    probes = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    # stable sort → ties broken by lowest centroid id, matching the SQL
+    # oracle's (cos DESC, cid ASC)
+    probes = np.argsort(-(cn @ qn), kind="stable")[:n_probe].tolist()
     assigned = ivf_assign(df, id_col, vec_col, centroids)
     cand = df.join(
         assigned.where(F.col("cluster").isin(probes)).select(id_col),
@@ -305,6 +307,37 @@ def ivf_topk(
         "left_semi",
     )
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
+def ivf_fit_sample(
+    vectors: np.ndarray, n_centroids: int = 8, n_iters: int = 4
+) -> np.ndarray:
+    """Deterministic pure-numpy Lloyd k-means over a driver-side sample —
+    the standard way an IVF coarse quantizer is fitted at corpus scale
+    (fit on a bounded sample, assign the full corpus distributed via
+    ``ivf_assign``). Init = the first ``n_centroids`` sample rows (callers
+    pass vectors in a deterministic order, e.g. sorted by id); assignment
+    is cosine argmax with first-max (lowest centroid) tie-break; an empty
+    cluster keeps its previous centroid — the same rules as the
+    distributed ``ivf_fit``, so both quantizers are interchangeable. Being
+    a pure function of the sample bytes, a SQL oracle can carry the fitted
+    centroids as literals and replay the whole ANN search exactly
+    (``ann_ivf_kmeans`` contract row)."""
+    vecs = np.asarray(vectors, dtype=np.float64)
+    centroids = vecs[:n_centroids].copy()
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    for _ in range(n_iters):
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        cl = np.argmax(vn @ cn.T, axis=1)
+        new = centroids.copy()
+        for c in range(n_centroids):
+            members = vecs[cl == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        centroids = new
+    return centroids
 
 
 def ivf_topk_flat(

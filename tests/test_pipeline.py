@@ -499,3 +499,32 @@ def test_video_frame_features_closed_form(spark):
             assert mg == pytest.approx(px[:, :, 1].mean(), abs=1e-6)
             assert mb == pytest.approx(px[:, :, 2].mean(), abs=1e-6)
         assert (i, n_frames) not in got  # frame count honored
+
+
+def test_ivf_fit_sample_deterministic_and_searchable(embeddings):
+    """ivf_fit_sample (driver-sample Lloyd — the scale shape for quantizer
+    fitting) is a pure function of the sample bytes, and ivf_topk over its
+    centroids keeps ANN recall vs brute force."""
+    from sync2any_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_fit_sample,
+        ivf_topk,
+    )
+
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    pdf = pdf[pdf["vec_id"] != 0]
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    a = ivf_fit_sample(vecs, n_centroids=8, n_iters=4)
+    b = ivf_fit_sample(vecs, n_centroids=8, n_iters=4)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 64)
+
+    emb = embeddings
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(rest, "vec_id", "embedding", qv, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(rest, "vec_id", "embedding", qv, a, 10, n_probe=4).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.5
