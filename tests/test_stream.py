@@ -243,3 +243,105 @@ def test_stream_offset_reset_replay_is_noop(
         for r in live_docs(spark, idx).collect()
     }
     assert live_after == live_before
+
+
+def test_windowed_counts_with_watermark_and_late_data(spark, tmp_path_factory):
+    """Event-time tumbling windows + watermark over the increment stream:
+    a row arriving late but INSIDE the allowance merges into its window; a
+    row later than the allowance is dropped; each finalized window is
+    emitted exactly once (append mode)."""
+    import datetime
+
+    from sync2any_spark.streaming.windows import windowed_turn_counts
+
+    inbox = str(tmp_path_factory.mktemp("win_inbox"))
+    ckpt = str(tmp_path_factory.mktemp("win_ckpt"))
+    t0 = datetime.datetime(2026, 7, 1, 12, 0, 0)
+
+    def row(conv, turn, minutes, role="user"):
+        return (conv, turn, role, "text", "",
+                t0 + datetime.timedelta(minutes=minutes), "I")
+
+    # drain 1: rows in windows [12:00,12:05) and [12:05,12:10); max event
+    # time 12:08 → watermark persisted after the drain = 11:58 (10 min)
+    b1 = [row("c1", 0, 1), row("c1", 1, 2), row("c2", 0, 6), row("c2", 1, 8)]
+    # drain 2: on-time row at 12:30 (pushes watermark to 12:20 — closes the
+    # first two windows) and a LATE row at 12:03 that is inside the
+    # allowance (persisted watermark 11:58 < 12:03 → must be counted)
+    b2 = [row("c3", 0, 30), row("c1", 2, 3)]
+    # drain 3: far-future row closes [12:30,12:35); a too-late row at 12:01
+    # (persisted watermark is now 12:20) must be DROPPED
+    b3 = [row("c4", 0, 120), row("c1", 3, 1)]
+
+    got: dict = {}
+
+    def drain():
+        out = windowed_turn_counts(
+            spark, os.path.join(inbox, "*"),
+            window_duration="5 minutes", watermark="10 minutes",
+        )
+
+        def collect(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[(r.window_start.minute, r.role)] = r.n_turns
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # each drain is its own run sharing the checkpoint — the watermark
+    # PERSISTS across restarts, which is exactly the recovery contract
+    for i, b in enumerate((b1, b2, b3)):
+        _batch(spark, b).coalesce(1).write.parquet(os.path.join(inbox, f"b{i}"))
+        drain()
+
+    # [12:00,12:05): drain-1's two rows + drain-2's late-but-allowed row;
+    # drain-3's too-late row NOT counted. [12:05,12:10): drain-1's rows.
+    assert got[(0, "user")] == 3
+    assert got[(5, "user")] == 2
+    assert got[(30, "user")] == 1  # closed by the far-future row
+
+
+def test_conversation_progress_stateful_stream(spark, tmp_path_factory):
+    """applyInPandasWithState: per-conversation running totals survive
+    across micro-batches in keyed state — the second batch's emission for a
+    conversation reflects batch-1 history."""
+    import datetime
+
+    from sync2any_spark.streaming.windows import conversation_progress_stream
+
+    inbox = str(tmp_path_factory.mktemp("state_inbox"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    t0 = datetime.datetime(2026, 7, 2, 9, 0, 0)
+
+    def row(conv, turn, minutes):
+        return (conv, turn, "user", "text", "",
+                t0 + datetime.timedelta(minutes=minutes), "I")
+
+    b1 = [row("cs1", 0, 0), row("cs1", 1, 1), row("cs2", 0, 2)]
+    b2 = [row("cs1", 2, 5), row("cs3", 0, 6)]
+    _batch(spark, b1).coalesce(1).write.parquet(os.path.join(inbox, "b1"))
+    _batch(spark, b2).coalesce(1).write.parquet(os.path.join(inbox, "b2"))
+
+    conversation_progress_stream(
+        spark, os.path.join(inbox, "*"), ckpt, query_name="conv_progress_t"
+    )
+    rows = spark.sql("SELECT * FROM conv_progress_t").collect()
+    # update-mode memory sink keeps every emission; the LATEST per conv
+    # carries the cumulative state
+    latest = {}
+    for r in rows:
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_turns_total > cur.n_turns_total:
+            latest[r.conv_id] = r
+    assert latest["cs1"].n_turns_total == 3          # 2 from b1 + 1 from b2
+    assert latest["cs1"].last_ts.minute == 5         # advanced by b2
+    assert latest["cs2"].n_turns_total == 1
+    assert latest["cs3"].n_turns_total == 1
+    # cs1 was emitted in BOTH batches (state carried, not recomputed)
+    assert sum(1 for r in rows if r.conv_id == "cs1") == 2
