@@ -98,9 +98,17 @@ def cmd_increment(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from .streaming.incremental import compact
+    from .streaming.incremental import compact, maybe_compact
 
     spark = _spark(args.cpus)
+    if args.if_needed:
+        summary = maybe_compact(
+            spark, args.index, args.out,
+            max_deleted_ratio=args.max_deleted_ratio,
+            max_segments=args.max_segments,
+        )
+        print(json.dumps(summary if summary is not None else {"skipped": True}))
+        return 0
     summary = compact(spark, args.index, args.out)
     print(json.dumps(summary))
     return 0
@@ -203,6 +211,10 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="force-merge into a fresh index")
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
+    c.add_argument("--if-needed", action="store_true",
+                   help="merge-policy mode: compact only past the thresholds")
+    c.add_argument("--max-deleted-ratio", type=float, default=0.3)
+    c.add_argument("--max-segments", type=int, default=16)
     c.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("stream", help="streaming increment consumer")

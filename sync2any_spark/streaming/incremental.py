@@ -388,6 +388,47 @@ def vacuum(index_dir: str) -> "list[str]":
     return removed
 
 
+def compaction_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Merge-policy inputs: total docs, tombstoned docs, deleted ratio,
+    committed segment count — all from metadata-scale reads."""
+    meta = read_index_meta(index_dir)
+    dead = deleted_ids(spark, index_dir, meta)
+    n_dead = int(dead.count()) if dead is not None else 0
+    n_total = int(all_docs(spark, index_dir, meta).count())
+    return {
+        "n_docs_total": n_total,
+        "n_deleted": n_dead,
+        "deleted_ratio": (n_dead / n_total) if n_total else 0.0,
+        "n_segments": len(meta.get("segments", [])),
+    }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    max_deleted_ratio: float = 0.3,
+    max_segments: int = 16,
+) -> "dict | None":
+    """Merge-policy trigger (the ES/Lucene TieredMergePolicy analog,
+    expressed as the reference's operational knob): compact when tombstones
+    exceed ``max_deleted_ratio`` of the stored docs (dead postings slow
+    every query and waste RAM in the serving tier) or when the delta
+    segment count passes ``max_segments`` (every reader unions one relation
+    per segment). Returns the compaction summary, or None when the index is
+    healthy — callers loop this after increments exactly like ES's
+    background merge scheduler."""
+    st = compaction_stats(spark, index_dir)
+    if (
+        st["deleted_ratio"] <= max_deleted_ratio
+        and st["n_segments"] <= max_segments
+    ):
+        return None
+    out = compact(spark, index_dir, out_dir)
+    out["trigger"] = st
+    return out
+
+
 def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     """Force-merge analog: rebuild the index from the live corpus. Purges
     tombstones, re-densifies doc ids, restores exact block-max bounds."""

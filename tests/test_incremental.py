@@ -329,3 +329,44 @@ def test_crash_then_retry_with_different_batch(
     got = IndexSearcher(spark, crashed).search("beta", 10)
     want = IndexSearcher(spark, clean).search("beta", 10)
     assert got == want and len(got) == 1
+
+
+def test_maybe_compact_policy(spark, transcripts_sf0001, tmp_path_factory):
+    """Merge-policy trigger: healthy index → no-op; past the deleted-ratio
+    threshold → compaction runs and the result answers identically to the
+    live view."""
+    import datetime
+
+    from sync2any_spark.streaming.incremental import (
+        compaction_stats,
+        maybe_compact,
+    )
+
+    idx = str(tmp_path_factory.mktemp("idx_policy"))
+    out = str(tmp_path_factory.mktemp("idx_policy_out"))
+    build_index(spark, transcripts_sf0001, idx, resume=False, **PARAMS)
+
+    st = compaction_stats(spark, idx)
+    assert st["n_deleted"] == 0 and st["n_segments"] == 0
+    assert maybe_compact(spark, idx, out, max_deleted_ratio=0.001) is None
+
+    # delete ~5% of docs → ratio crosses a 3% threshold
+    t = transcripts_sf0001
+    h = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(100))
+    deletes = t.where(h < 5).withColumn("op", F.lit("D"))
+    apply_increments(spark, idx, deletes)
+    st2 = compaction_stats(spark, idx)
+    assert st2["n_deleted"] > 0 and st2["deleted_ratio"] > 0.03
+
+    summary = maybe_compact(spark, idx, out, max_deleted_ratio=0.03)
+    assert summary is not None and summary["trigger"]["n_deleted"] == st2["n_deleted"]
+    live = _merged_oracle(spark, idx)
+    s_out = IndexSearcher(spark, out)
+    assert s_out.deleted.size == 0
+    hits = s_out.search("ok", 10)
+    docs_out = spark.read.parquet(f"{out}/docs").toPandas()
+    key_new = {r.doc_id: (r.conv_id, r.turn_idx) for r in docs_out.itertuples(index=False)}
+    live_docs_pdf = live_docs(spark, idx).select("doc_id", "conv_id", "turn_idx").toPandas()
+    key_old = {r.doc_id: (r.conv_id, r.turn_idx) for r in live_docs_pdf.itertuples(index=False)}
+    want = live.topk("ok", 10)
+    assert [key_new[d] for d, _ in hits] == [key_old[d] for d, _ in want]
