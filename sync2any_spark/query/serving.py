@@ -113,6 +113,7 @@ class LocalSearcher:
         from .wand import _load_deletes
 
         self.meta = read_index_meta(index_dir)
+        self._index_dir = index_dir
         paths = IndexPaths(index_dir)
         tv = int(self.meta.get("terms_version", 0))
         st = ds.dataset(paths.stats_v(tv)).to_table().to_pandas().iloc[0]
@@ -160,6 +161,47 @@ class LocalSearcher:
                 filter=bucket_filter
             ).to_pandas()
             self._live_df = dict(zip(tdf["term"], tdf["df"].astype(int)))
+
+    def fetch(self, hits: "list[tuple[int, float]]") -> pd.DataFrame:
+        """Resolve winners to their source rows from the docs store — the
+        ES ``_source`` fetch, served without Spark: a pyarrow dataset read
+        with a doc_id predicate (row-group stats prune; the docs store is
+        doc_id-ordered, so the k winners touch ~k row groups). Tombstoned
+        ids are dropped first. Columns: doc_id, score, conv_id, turn_idx,
+        role, text."""
+        import pyarrow.dataset as ds
+
+        cols = ["doc_id", "conv_id", "turn_idx", "role", "text"]
+        if self.deleted.size:
+            from .wand import _alive_mask
+
+            ids = np.array([h[0] for h in hits], dtype=np.int64)
+            alive = _alive_mask(self.deleted, ids) if ids.size else ids.astype(bool)
+            hits = [h for h, a in zip(hits, alive) if a]
+        if not hits:
+            return pd.DataFrame(
+                {c: [] for c in ["doc_id", "score"] + cols[1:]}
+            )
+        want = sorted(h[0] for h in hits)
+        parts = [
+            d.to_table(columns=cols, filter=ds.field("doc_id").isin(want)).to_pandas()
+            for d in self._docs_datasets()
+        ]
+        docs = pd.concat(parts, ignore_index=True)
+        scores = {d: s for d, s in hits}
+        docs["score"] = docs["doc_id"].map(scores)
+        return docs[["doc_id", "score", "conv_id", "turn_idx", "role", "text"]]
+
+    def _docs_datasets(self):
+        import pyarrow.dataset as ds
+
+        from ..index.builder import docs_sources
+
+        if not hasattr(self, "_docs_ds"):
+            self._docs_ds = [
+                ds.dataset(d) for d in docs_sources(self._index_dir, self.meta)
+            ]
+        return self._docs_ds
 
     def _term_blocks(self, term: str) -> "pd.DataFrame | None":
         span = self._term_index.get(term)

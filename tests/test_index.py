@@ -322,3 +322,24 @@ def test_pyarrow_scan_equals_spark_scan(spark, index_dir):
         a = searcher.search(q.query_text, int(q.k))                # pyarrow
         b = searcher.search(q.query_text, int(q.k), scan="spark")  # spark
         assert a == b, q.query_text
+
+
+def test_local_searcher_fetch(spark, index_dir, transcripts_sf0001):
+    """Serving-tier doc retrieval (ES _source fetch, no Spark): resolved
+    rows carry the exact source text for every hit."""
+    from sync2any_spark.query.serving import LocalSearcher
+
+    local = LocalSearcher(index_dir)
+    hits = local.search("ok w0000", 5)
+    assert hits
+    got = local.fetch(hits).sort_values("doc_id")
+    assert list(got.columns) == ["doc_id", "score", "conv_id", "turn_idx", "role", "text"]
+    assert len(got) == len(hits)
+    src = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts_sf0001.collect()
+    }
+    for r in got.itertuples(index=False):
+        assert src[(r.conv_id, r.turn_idx)] == r.text
+    assert dict(zip(got["doc_id"], got["score"])) == dict(hits)
+    assert local.fetch([]).empty
