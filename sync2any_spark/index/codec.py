@@ -114,20 +114,22 @@ def vb_decode(buf: bytes) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     is_last = (b & 0x80) == 0
+    if is_last.all():  # every value fits 7 bits — no continuations
+        return (b & np.uint8(0x7F)).astype(np.int64)
     start_mask = np.empty(b.size, dtype=bool)
     start_mask[0] = True
     start_mask[1:] = is_last[:-1]
-    if is_last.all():  # every value fits 7 bits — no continuations
-        return (b & np.uint8(0x7F)).astype(np.int64)
-    # mixed: single-byte values (dense-gap postings make them ~98% of the
-    # stream) fill by masked assignment; only the rare multi-byte values go
-    # through the general grouped-shift path
-    single = start_mask & is_last
-    n_vals = int(np.count_nonzero(start_mask))
-    out = np.empty(n_vals, dtype=np.int64)
-    vidx = np.cumsum(start_mask) - 1  # value index of each byte
-    out[vidx[single]] = b[single] & np.uint8(0x7F)
-    mb = np.flatnonzero(~single)  # every byte of every multi-byte value
+    starts = np.flatnonzero(start_mask)
+    # per-VALUE single/multi split: a value is single-byte iff its start
+    # byte terminates it. Single values (dense-gap postings make them ~98%
+    # of the stream) fill by one gather; only the rare multi-byte values'
+    # bytes go through the grouped-shift path — no per-byte prefix sums on
+    # the full stream (the former per-byte cumsum dominated hot-term
+    # decode).
+    single = is_last[starts]
+    out = np.empty(starts.size, dtype=np.int64)
+    out[single] = b[starts[single]] & np.uint8(0x7F)
+    mb = np.flatnonzero(~(start_mask & is_last))  # bytes of multi values
     bm = b[mb]
     ilm = is_last[mb]
     starts_m = np.flatnonzero(np.concatenate(([True], ilm[:-1])))
@@ -136,8 +138,7 @@ def vb_decode(buf: bytes) -> np.ndarray:
     group = np.cumsum(group)
     pos = np.arange(bm.size, dtype=np.int64) - starts_m[group]
     contrib = (bm & np.uint8(0x7F)).astype(np.uint64) << (pos * 7).astype(np.uint64)
-    vals_m = np.add.reduceat(contrib, starts_m).astype(np.int64)
-    out[vidx[mb[starts_m]]] = vals_m
+    out[~single] = np.add.reduceat(contrib, starts_m).astype(np.int64)
     return out
 
 
