@@ -365,6 +365,17 @@ def phrase_topk_positional_distributed(searcher, phrase: str, k: int = 10) -> Da
         return empty
 
     occ = phrase_occurrence_pairs(searcher, uniq)
+    if len(uniq) > 1:
+        # pre-prune: only docs containing ALL phrase terms can match, and
+        # that intersection (phrase_candidates — doc-id decode only, rows
+        # = Σ df, no positions) is far smaller than the occurrence stream
+        # (rows = Σ cf). Semi-joining each slot first is the relational
+        # spelling of Lucene's aligned-cursor intersection: for a
+        # rare-term + stop-word phrase the stop-word slot shrinks from its
+        # full posting list to the rare term's df before any position
+        # crosses a shuffle.
+        cand = phrase_candidates(searcher, uniq)
+        occ = occ.join(cand, "doc_id", "left_semi")
     # slot 0 anchors the match at p0 = pos and carries dl for the scorer
     matched = occ.where(F.col("term") == terms[0]).select(
         "doc_id", F.col("pos").alias("p0"), "dl"
