@@ -1,0 +1,398 @@
+"""Pure-numpy baseline JPEG codec — the MJPEG plug-in, no libjpeg.
+
+Decoder: baseline sequential DCT JPEG (ITU-T T.81) — marker parse
+(DQT/SOF0/DHT/SOS), canonical Huffman decode with DC prediction and
+0xFF00 byte-unstuffing, de-zigzag, dequantization, 8×8 IDCT (exact
+DCT-III matrix form), level shift, and JFIF YCbCr→RGB for 3-component
+scans. Progressive (SOF2) and arithmetic-coded streams raise — baseline is
+what MJPEG produces. Sampling: 4:4:4 and grayscale (MJPEG's common
+all-intra shapes); subsampled chroma raises with the factor named.
+
+Encoder: a RESTRICTED exact encoder for test fixtures — images constant
+per 8×8 block, quantization tables of all ones, standard Annex K Huffman
+tables. Such blocks carry only a DC coefficient, and with Q=1 the
+DC→IDCT→level-shift path is exact for integer samples, so
+``decode(encode(x)) == x`` bit-for-bit: the fixture exercises the full
+real bitstream (markers, canonical Huffman, DC prediction across blocks,
+amplitude categories, byte stuffing) with a closed-form expected output.
+
+The Huffman walk is per-bit Python — correctness-first (frames in tests
+are tiny); a production deployment swaps in libjpeg/ffmpeg at the same
+``NotImplementedError`` plug-in points this module removes for baseline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# standard Huffman tables (T.81 Annex K): (counts per code length 1..16, symbols)
+DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(counts, symbols):
+    """symbol → (code, length) under canonical Huffman assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(counts, symbols):
+    """(code, length) → symbol for the bit-walk decoder."""
+    return {v: s for s, v in _canonical_codes(counts, symbols).items()}
+
+
+_IDCT_M = None
+
+
+def _idct_matrix() -> np.ndarray:
+    global _IDCT_M
+    if _IDCT_M is None:
+        u = np.arange(8)
+        x = np.arange(8)
+        c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+        _IDCT_M = 0.5 * c[:, None] * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    return _IDCT_M
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    m = _idct_matrix()
+    return m.T @ block @ m
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        # un-stuff 0xFF00 → 0xFF
+        self.data = data.replace(b"\xff\x00", b"\xff")
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _read_symbol(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W) uint8 (grayscale) or (H, W, 3) uint8 (RGB)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
+    frame = None
+    scan_comps = None
+    scan_data = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}) — libjpeg "
+                f"plugs in here; MJPEG streams are baseline"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _decode_map(counts, symbols)
+                p += 17 + n
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append({"id": cs, "dc": tables >> 4, "ac": tables & 0xF})
+            # entropy-coded data runs until the next non-RST marker
+            p = pos + seglen
+            q = p
+            while q + 1 < len(data):
+                if data[q] == 0xFF and data[q + 1] not in (0x00,) and not (
+                    0xD0 <= data[q + 1] <= 0xD7
+                ):
+                    break
+                q += 1
+            scan_data = data[p:q]
+            pos = q
+            continue
+        pos += seglen
+    if frame is None or scan_data is None:
+        raise ValueError("missing SOF/SOS")
+    if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
+        f = [(c["h"], c["v"]) for c in frame["comps"]]
+        raise NotImplementedError(f"subsampled chroma {f} — 4:4:4/gray only")
+
+    h, w = frame["h"], frame["w"]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    planes = {c["id"]: np.zeros((bh * 8, bw * 8), dtype=np.float64) for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+    r = _BitReader(scan_data)
+    for byy in range(bh):
+        for bxx in range(bw):
+            for sc in scan_comps:
+                comp = by_id[sc["id"]]
+                dc_t = huff[(0, sc["dc"])]
+                ac_t = huff[(1, sc["ac"])]
+                coef = np.zeros(64, dtype=np.int64)
+                s = _read_symbol(r, dc_t)
+                diff = _extend(r.bits(s), s) if s else 0
+                pred[sc["id"]] += diff
+                coef[0] = pred[sc["id"]]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(r, ac_t)
+                    rr, ss = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rr
+                    coef[k] = _extend(r.bits(ss), ss)
+                    k += 1
+                # dequantize in zigzag order, then place into natural order
+                dq = np.zeros(64, dtype=np.float64)
+                dq[ZIGZAG] = coef * qt[comp["tq"]]
+                px = idct2(dq.reshape(8, 8)) + 128.0
+                planes[sc["id"]][byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = px
+    outs = [planes[c["id"]][:h, :w] for c in comps]
+    if len(outs) == 1:
+        return np.clip(np.rint(outs[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = outs
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([rr, gg, bb], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# restricted exact encoder (test fixtures): block-constant images, Q = 1
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:
+                    self.bytes.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.bytes.append(self.acc)
+            if self.acc == 0xFF:
+                self.bytes.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.bytes)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _dht_segment(tc: int, th: int, table) -> bytes:
+    counts, symbols = table
+    body = bytes([tc << 4 | th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_blocks(img: np.ndarray) -> bytes:
+    """Exact baseline JPEG for an image CONSTANT PER 8×8 BLOCK (grayscale
+    (H, W) or RGB (H, W, 3), dims multiples of 8): all-ones quant tables,
+    Annex K Huffman, DC-only blocks + EOB. Grayscale decodes BIT-EXACTLY;
+    color is exact to ±1 per channel (the YCbCr forward transform itself
+    rounds — inherent to JPEG, not to this codec)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("fixture encoder needs multiple-of-8 dims")
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    bh, bw = h // 8, w // 8
+    for p in planes:
+        blocks = p.reshape(bh, 8, bw, 8)
+        if not np.allclose(blocks, blocks[:, :1, :, :1]):
+            raise ValueError("fixture encoder needs block-constant pixels")
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: all ones, table 0 (and 1 for chroma when color)
+    for tq in range(1 if gray else 2):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + b"\x01" * 64
+    nc = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA) + _dht_segment(1, 1, AC_CHROMA)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_codes = [_canonical_codes(*DC_LUMA)] + (
+        [] if gray else [_canonical_codes(*DC_CHROMA)] * 2
+    )
+    ac_codes = [_canonical_codes(*AC_LUMA)] + (
+        [] if gray else [_canonical_codes(*AC_CHROMA)] * 2
+    )
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for byy in range(bh):
+        for bxx in range(bw):
+            for ci in range(nc):
+                c = planes[ci][byy * 8, bxx * 8]
+                dc = int(round(8.0 * (c - 128.0)))
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s = _category(diff)
+                code, length = dc_codes[ci][s]
+                wtr.write(code, length)
+                if s:
+                    amp = diff if diff >= 0 else diff + (1 << s) - 1
+                    wtr.write(amp, s)
+                code, length = ac_codes[ci][0x00]  # EOB
+                wtr.write(code, length)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -10,8 +10,10 @@ formats are decodable from their public specs). Features are order-
 sensitive (channel means, the (0,0) pixel, min/max) so a wrong row order /
 channel order / unfilter would fail the oracle. ``fake=True`` keeps the
 deterministic md5-derived pseudo-decode for pipeline-shape tests over
-arbitrary (non-image) payloads. Video frame sampling stays a stub — no
-ffmpeg in this container; the byte-stride fake marks the plug-in point.
+arbitrary (non-image) payloads. Video frame sampling is REAL too:
+AVI/RIFF container walk + uncompressed-DIB and baseline-MJPEG frame decode
+(``videocodec`` + ``jpegcodec``, pure numpy); only other codecs (H.264, …)
+remain a named plug-in point.
 """
 
 from __future__ import annotations
@@ -172,11 +174,13 @@ def sample_frames(
     """Video frame sampling. ``fake=False`` is a REAL decoder now (round-2
     Missing #4 retired): the payload is parsed as an AVI/RIFF container
     (``videocodec``, pure struct+numpy from the public spec), every
-    ``every_n_frames``-th uncompressed DIB frame is decoded to RGB, and
-    ``frame_md5``/``n_bytes`` are computed over the DECODED pixel buffer —
-    a header, stride, row-order or channel-order bug changes the hash.
-    Compressed streams (MJPG/H.264) raise ``NotImplementedError`` naming
-    the handler — the honest plug-in point for a codec library.
+    ``every_n_frames``-th frame is decoded to RGB — uncompressed DIB
+    directly, MJPEG through the pure-numpy baseline JPEG codec
+    (``jpegcodec``) — and ``frame_md5``/``n_bytes`` are computed over the
+    DECODED pixel buffer, so a header, stride, Huffman, row-order or
+    channel-order bug changes the hash. Other codecs (H.264, …) raise
+    ``NotImplementedError`` naming the handler — the honest plug-in point
+    for a codec library.
     ``fake=True`` keeps the byte-stride pseudo-decode for pipeline-shape
     tests over arbitrary payloads."""
 

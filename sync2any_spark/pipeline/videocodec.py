@@ -8,10 +8,12 @@ codec library: BI_RGB 24-bit device-independent bitmap frames (``'DIB '``
 handler, ``00db`` chunks) — frames are stored exactly like BMP pixel
 arrays: bottom-up rows, BGR order, rows padded to 4 bytes.
 
-Compressed streams (MJPG, H.264, …) still raise ``NotImplementedError``
-with the handler name — honestly marking where a real codec library plugs
-in; the container walk (headers, stream list, movi chunks, idx1) is fully
-real either way.
+MJPEG streams (``'MJPG'`` handler, ``00dc`` chunks of baseline JPEG
+frames) decode through the pure-numpy baseline JPEG codec
+(``jpegcodec``); other compressed codecs (H.264, …) raise
+``NotImplementedError`` with the handler name — honestly marking where a
+real codec library plugs in. The container walk (headers, stream list,
+movi chunks, idx1) is fully real in every case.
 
 Encoder included so tests and fixtures are spec-literal bytes, not
 library output; decode(encode(x)) == x is property-tested.
@@ -116,6 +118,52 @@ def encode_avi_raw(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_mjpeg(
+    jpeg_frames: "list[bytes]", width: int, height: int, fps: int = 10
+) -> bytes:
+    """Spec-conformant MJPEG AVI: same container as ``encode_avi_raw`` but
+    handler 'MJPG', ``biCompression = 'MJPG'`` and ``00dc`` chunks whose
+    payloads are complete baseline JPEG images (e.g. from
+    ``jpegcodec.encode_jpeg_blocks``)."""
+    if not jpeg_frames:
+        raise ValueError("need at least one frame")
+    n = len(jpeg_frames)
+    buf_size = max(len(b) for b in jpeg_frames)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, buf_size * fps, 0, 0x10, n, 0, 1,
+        buf_size, width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, fps, 0, n, buf_size,
+        0xFFFFFFFF & -1, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24,
+        struct.unpack("<I", b"MJPG")[0],  # biCompression = 'MJPG'
+        0, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fb) for fb in jpeg_frames))
+    idx_entries, off = [], 4
+    for fb in jpeg_frames:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _walk_chunks(data: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_size) over a RIFF chunk run."""
     pos = start
@@ -156,20 +204,28 @@ def parse_avi(data: bytes) -> dict:
     walk_list(12, 12 + struct.unpack_from("<I", data, 4)[0] - 4)
     if width is None:
         raise ValueError("no video stream format (strf) found")
-    if handler not in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00") or (
-        compression not in (0, None)
-    ) or bitcount != 24:
+    mjpg_fourcc = struct.unpack("<I", b"MJPG")[0]
+    if handler == b"MJPG" or compression == mjpg_fourcc:
+        codec = "MJPG"
+    elif (
+        handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00")
+        and compression in (0, None)
+        and bitcount == 24
+    ):
+        codec = "DIB"
+    else:
         raise NotImplementedError(
             f"compressed AVI stream (handler={handler!r}, "
             f"biCompression={compression}, bitcount={bitcount}) — a codec "
-            f"library (e.g. ffmpeg) plugs in here; only uncompressed "
-            f"BI_RGB 24-bit DIB frames decode without one"
+            f"library (e.g. ffmpeg) plugs in here; uncompressed DIB and "
+            f"baseline MJPEG decode without one"
         )
     return {
         "width": int(width),
         "height": int(height),
         "n_frames": len(frame_spans),
         "handler": handler.decode("ascii", "replace").strip(),
+        "codec": codec,
         "fps": int(fps),
         "frame_spans": frame_spans,
     }
@@ -186,5 +242,14 @@ def decode_avi_frames(
     for idx, (start, size) in enumerate(meta["frame_spans"]):
         if idx % every_n:
             continue
-        out.append((idx, _dib_decode_frame(data[start : start + size], w, h)))
+        payload = data[start : start + size]
+        if meta["codec"] == "MJPG":
+            from .jpegcodec import decode_jpeg
+
+            img = decode_jpeg(payload)
+            if img.ndim == 2:  # grayscale MJPEG → uniform (H, W, 3)
+                img = np.repeat(img[:, :, None], 3, axis=2)
+        else:
+            img = _dib_decode_frame(payload, w, h)
+        out.append((idx, img))
     return meta, out

@@ -452,11 +452,11 @@ def test_video_codec_roundtrip_and_sampling(spark):
 
     with pytest.raises(ValueError, match="RIFF"):
         parse_avi(b"plain text, definitely not a container")
-    mjpg = bytearray(encode_avi_raw(frames))
-    p = mjpg.find(b"vids") + 4
-    mjpg[p : p + 4] = b"MJPG"
-    with pytest.raises(NotImplementedError, match="MJPG"):
-        parse_avi(bytes(mjpg))
+    h264 = bytearray(encode_avi_raw(frames))
+    p = h264.find(b"vids") + 4
+    h264[p : p + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        parse_avi(bytes(h264))
 
     # through the Spark operator: md5 over DECODED pixels, not raw bytes
     import hashlib
@@ -528,3 +528,60 @@ def test_ivf_fit_sample_deterministic_and_searchable(embeddings):
         for r in ivf_topk(rest, "vec_id", "embedding", qv, a, 10, n_probe=4).collect()
     ]
     assert len(set(exact) & set(approx)) / 10 >= 0.5
+
+
+def test_jpeg_codec_and_mjpeg_avi(spark):
+    """Baseline JPEG codec (pure numpy: markers, canonical Huffman, DC
+    prediction, byte stuffing, dequant, IDCT, YCbCr): block-constant
+    grayscale fixtures decode BIT-EXACTLY, color within the YCbCr rounding
+    bound; progressive streams are rejected by SOF marker. MJPEG-in-AVI
+    then decodes end-to-end through sample_frames(fake=False)."""
+    import hashlib
+
+    import numpy as np
+
+    from sync2any_spark.pipeline.jpegcodec import decode_jpeg, encode_jpeg_blocks
+    from sync2any_spark.pipeline.multimodal import sample_frames
+    from sync2any_spark.pipeline.videocodec import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = np.repeat(
+        np.repeat(rng.integers(0, 256, (3, 4)), 8, axis=0), 8, axis=1
+    ).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_blocks(gray)), gray)
+
+    color_frames = []
+    for f in range(3):
+        c = np.repeat(
+            np.repeat(rng.integers(0, 256, (2, 2, 3)), 8, axis=0), 8, axis=1
+        ).astype(np.uint8)
+        color_frames.append(c)
+    jpegs = [encode_jpeg_blocks(f) for f in color_frames]
+    for jb, f in zip(jpegs, color_frames):
+        out = decode_jpeg(jb)
+        assert int(np.abs(out.astype(int) - f.astype(int)).max()) <= 1
+
+    bad = bytearray(jpegs[0])
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="0xC2"):
+        decode_jpeg(bytes(bad))
+
+    avi = encode_avi_mjpeg(jpegs, width=16, height=16, fps=5)
+    meta = parse_avi(avi)
+    assert meta["codec"] == "MJPG" and meta["n_frames"] == 3
+    _, decoded = decode_avi_frames(avi)
+    assert len(decoded) == 3
+    for (idx, img), f in zip(decoded, color_frames):
+        assert img.shape == f.shape
+        assert int(np.abs(img.astype(int) - f.astype(int)).max()) <= 1
+
+    # through the Spark operator: frame_md5 over decoded MJPEG pixels
+    df = spark.createDataFrame([(7, bytearray(avi))], "doc_id long, blob binary")
+    rows = sorted(sample_frames(df, fake=False).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    assert rows[0].frame_md5 == hashlib.md5(decoded[0][1].tobytes()).hexdigest()
