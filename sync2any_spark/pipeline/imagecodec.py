@@ -174,4 +174,9 @@ def decode_image(b: bytes) -> np.ndarray:
         return decode_png(b)
     if b[:2] in (b"P6", b"P5"):
         return decode_ppm(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        img = decode_jpeg(b)
+        return img if img.ndim == 3 else img[:, :, None]
     raise ValueError(f"unsupported image magic {b[:4]!r}")

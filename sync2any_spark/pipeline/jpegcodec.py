@@ -234,46 +234,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += seglen
     if frame is None or scan_data is None:
         raise ValueError("missing SOF/SOS")
-    if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
-        f = [(c["h"], c["v"]) for c in frame["comps"]]
-        raise NotImplementedError(f"subsampled chroma {f} — 4:4:4/gray only")
+    comps = frame["comps"]
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        f = [(c["h"], c["v"]) for c in comps]
+        raise NotImplementedError(f"sampling factors {f} — 1 and 2 supported")
 
     h, w = frame["h"], frame["w"]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcux = (w + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
     by_id = {c["id"]: c for c in comps}
-    planes = {c["id"]: np.zeros((bh * 8, bw * 8), dtype=np.float64) for c in comps}
+    # each component decodes into its OWN (subsampled) plane; upsampling to
+    # the full frame happens after the scan
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
     pred = {c["id"]: 0 for c in comps}
     r = _BitReader(scan_data)
-    for byy in range(bh):
-        for bxx in range(bw):
+
+    def decode_block(comp, dc_t, ac_t):
+        coef = np.zeros(64, dtype=np.int64)
+        s = _read_symbol(r, dc_t)
+        diff = _extend(r.bits(s), s) if s else 0
+        pred[comp["id"]] += diff
+        coef[0] = pred[comp["id"]]
+        k = 1
+        while k < 64:
+            rs = _read_symbol(r, ac_t)
+            rr, ss = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rr
+            coef[k] = _extend(r.bits(ss), ss)
+            k += 1
+        # dequantize in zigzag order, then place into natural order
+        dq = np.zeros(64, dtype=np.float64)
+        dq[ZIGZAG] = coef * qt[comp["tq"]]
+        return idct2(dq.reshape(8, 8)) + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for sc in scan_comps:
                 comp = by_id[sc["id"]]
                 dc_t = huff[(0, sc["dc"])]
                 ac_t = huff[(1, sc["ac"])]
-                coef = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(r, dc_t)
-                diff = _extend(r.bits(s), s) if s else 0
-                pred[sc["id"]] += diff
-                coef[0] = pred[sc["id"]]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(r, ac_t)
-                    rr, ss = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rr
-                    coef[k] = _extend(r.bits(ss), ss)
-                    k += 1
-                # dequantize in zigzag order, then place into natural order
-                dq = np.zeros(64, dtype=np.float64)
-                dq[ZIGZAG] = coef * qt[comp["tq"]]
-                px = idct2(dq.reshape(8, 8)) + 128.0
-                planes[sc["id"]][byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = px
-    outs = [planes[c["id"]][:h, :w] for c in comps]
+                # h×v data units per MCU, raster order (T.81 A.2.3)
+                for bv in range(comp["v"]):
+                    for bh_i in range(comp["h"]):
+                        px = decode_block(comp, dc_t, ac_t)
+                        y0 = (my * comp["v"] + bv) * 8
+                        x0 = (mx * comp["h"] + bh_i) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    outs = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < max_h or c["v"] < max_v:  # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
+        outs.append(p[:h, :w])
     if len(outs) == 1:
         return np.clip(np.rint(outs[0]), 0, 255).astype(np.uint8)
     y, cb, cr = outs
@@ -328,16 +350,27 @@ def _dht_segment(tc: int, th: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_blocks(img: np.ndarray) -> bytes:
-    """Exact baseline JPEG for an image CONSTANT PER 8×8 BLOCK (grayscale
-    (H, W) or RGB (H, W, 3), dims multiples of 8): all-ones quant tables,
-    Annex K Huffman, DC-only blocks + EOB. Grayscale decodes BIT-EXACTLY;
-    color is exact to ±1 per channel (the YCbCr forward transform itself
-    rounds — inherent to JPEG, not to this codec)."""
+def encode_jpeg_blocks(img: np.ndarray, subsampling: str = "444") -> bytes:
+    """Exact baseline JPEG for a BLOCK-CONSTANT image (grayscale (H, W) or
+    RGB (H, W, 3)): all-ones quant tables, Annex K Huffman, DC-only blocks
+    + EOB. ``subsampling="444"`` needs constant 8×8 blocks and
+    multiple-of-8 dims; ``"420"`` (the MJPEG-camera shape: Y 2×2, chroma
+    1×1 with interleaved 16×16 MCUs) needs constant 16×16 tiles and
+    multiple-of-16 dims. Grayscale decodes BIT-EXACTLY; color is exact to
+    ±1 per channel (the YCbCr forward transform itself rounds — inherent
+    to JPEG, not to this codec)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("fixture encoder needs multiple-of-8 dims")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if gray or subsampling == "444":
+        tile = 8
+        samp_y = 0x11
+    else:
+        tile = 16
+        samp_y = 0x22
+    if h % tile or w % tile:
+        raise ValueError(f"fixture encoder needs multiple-of-{tile} dims")
     if gray:
         planes = [img.astype(np.float64)]
     else:
@@ -346,11 +379,11 @@ def encode_jpeg_blocks(img: np.ndarray) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
-    bh, bw = h // 8, w // 8
+    th_, tw_ = h // tile, w // tile
     for p in planes:
-        blocks = p.reshape(bh, 8, bw, 8)
-        if not np.allclose(blocks, blocks[:, :1, :, :1]):
-            raise ValueError("fixture encoder needs block-constant pixels")
+        tiles = p.reshape(th_, tile, tw_, tile)
+        if not np.allclose(tiles, tiles[:, :1, :, :1]):
+            raise ValueError(f"fixture encoder needs {tile}×{tile}-constant pixels")
 
     out = bytearray(b"\xff\xd8")
     # DQT: all ones, table 0 (and 1 for chroma when color)
@@ -359,7 +392,7 @@ def encode_jpeg_blocks(img: np.ndarray) -> bytes:
     nc = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sof += bytes([i + 1, samp_y if i == 0 else 0x11, 0 if i == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, AC_LUMA)
     if not gray:
@@ -378,21 +411,34 @@ def encode_jpeg_blocks(img: np.ndarray) -> bytes:
     )
     wtr = _BitWriter()
     pred = [0] * nc
-    for byy in range(bh):
-        for bxx in range(bw):
-            for ci in range(nc):
-                c = planes[ci][byy * 8, bxx * 8]
-                dc = int(round(8.0 * (c - 128.0)))
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                s = _category(diff)
-                code, length = dc_codes[ci][s]
-                wtr.write(code, length)
-                if s:
-                    amp = diff if diff >= 0 else diff + (1 << s) - 1
-                    wtr.write(amp, s)
-                code, length = ac_codes[ci][0x00]  # EOB
-                wtr.write(code, length)
+
+    def put_block(ci: int, c: float) -> None:
+        dc = int(round(8.0 * (c - 128.0)))
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        s = _category(diff)
+        code, length = dc_codes[ci][s]
+        wtr.write(code, length)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            wtr.write(amp, s)
+        code, length = ac_codes[ci][0x00]  # EOB
+        wtr.write(code, length)
+
+    if tile == 8:
+        for byy in range(th_):
+            for bxx in range(tw_):
+                for ci in range(nc):
+                    put_block(ci, planes[ci][byy * 8, bxx * 8])
+    else:
+        # 4:2:0 MCU = 4 Y blocks (raster) + Cb + Cr, all constant per tile
+        for myy in range(th_):
+            for mxx in range(tw_):
+                c = planes[0][myy * 16, mxx * 16]
+                for _ in range(4):
+                    put_block(0, c)
+                put_block(1, planes[1][myy * 16, mxx * 16])
+                put_block(2, planes[2][myy * 16, mxx * 16])
     out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -585,3 +585,32 @@ def test_jpeg_codec_and_mjpeg_avi(spark):
     rows = sorted(sample_frames(df, fake=False).collect(), key=lambda r: r.frame_idx)
     assert [r.frame_idx for r in rows] == [0, 1, 2]
     assert rows[0].frame_md5 == hashlib.md5(decoded[0][1].tobytes()).hexdigest()
+
+
+def test_jpeg_420_subsampling_and_image_dispatch(spark):
+    """4:2:0 chroma subsampling (the MJPEG-camera shape): interleaved
+    16x16 MCUs (4 Y + Cb + Cr) decode with nearest-neighbor chroma
+    upsampling, exact on tile-constant fixtures; decode_image dispatches
+    standalone JPEG payloads by magic; a 4:2:0 MJPEG AVI decodes
+    end-to-end."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.imagecodec import decode_image
+    from sync2any_spark.pipeline.jpegcodec import decode_jpeg, encode_jpeg_blocks
+    from sync2any_spark.pipeline.videocodec import decode_avi_frames, encode_avi_mjpeg
+
+    rng = np.random.default_rng(13)
+    tiles = rng.integers(0, 256, (2, 3, 3))
+    img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1).astype(np.uint8)
+    jb = encode_jpeg_blocks(img, subsampling="420")
+    out = decode_jpeg(jb)
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+    # magic dispatch through the image decoder
+    via_dispatch = decode_image(jb)
+    assert np.array_equal(via_dispatch, out)
+    # 4:2:0 MJPEG inside the AVI container
+    avi = encode_avi_mjpeg([jb, jb], width=img.shape[1], height=img.shape[0])
+    meta, frames = decode_avi_frames(avi)
+    assert meta["codec"] == "MJPG" and len(frames) == 2
+    assert np.array_equal(frames[0][1], out)
