@@ -133,3 +133,56 @@ def test_fetch_schema_consistent_on_empty(spark, tmp_path):
     empty = s.fetch([])
     full = s.fetch(s.search("hello", 10))
     assert empty.columns == full.columns
+
+
+def test_random_corpora_all_engines_match_oracle(spark, tmp_path_factory):
+    """Property test: on randomized corpora (mixed Latin/digit/CJK words,
+    duplicated texts, skewed repetition, multi-conversation), every query
+    engine — pyarrow driver scan, Spark scan, block-max WAND, distributed,
+    and the RAM serving tier — returns the numpy oracle's exact ranking.
+    Deterministic seeds; each round builds a real index."""
+    import numpy as np
+
+    from sync2any_spark.query.serving import LocalSearcher
+
+    vocab = ["ok", "w1", "w2", "data", "x9", "中", "文", "한", "z00", "qq"]
+    rng = np.random.default_rng(1234)
+    for round_i in range(3):
+        n_convs = int(rng.integers(1, 4))
+        rows = []
+        texts = []
+        for ci in range(n_convs):
+            n_turns = int(rng.integers(1, 6))
+            for t in range(n_turns):
+                n_words = int(rng.integers(0, 12))
+                # Zipf-ish skew: low indices much more likely
+                idxs = np.minimum(
+                    rng.zipf(1.6, size=n_words) - 1, len(vocab) - 1
+                )
+                text = " ".join(vocab[i] for i in idxs)
+                rows.append((f"conv{ci:02d}", t, "user", text, "", TS))
+                texts.append(text)
+        df = spark.createDataFrame(rows, SCHEMA)
+        d = str(tmp_path_factory.mktemp(f"rand_idx_{round_i}"))
+        build_index(spark, df, d, n_partitions=4, n_buckets=4, n_salts=2,
+                    heavy_df_threshold=5)
+        ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+        oracle = BM25Oracle([(i, r[3]) for i, r in enumerate(ordered)])
+        s = IndexSearcher(spark, d)
+        local = LocalSearcher(d)
+        queries = ["ok", "ok w1", "中 文", "zzz_missing", "w2 data x9", "qq"]
+        for q in queries:
+            want = oracle.topk(q, 5)
+            paths = {
+                "pyarrow": s.search(q, 5),
+                "spark": s.search(q, 5, scan="spark"),
+                "bmw": s.search(q, 5, engine="bmw"),
+                "dist": s.search(q, 5, route="distributed"),
+                "serving": local.search(q, 5),
+            }
+            for name, got in paths.items():
+                assert [g[0] for g in got] == [w[0] for w in want], (
+                    round_i, q, name, texts,
+                )
+                for (_, gs), (_, ws) in zip(got, want):
+                    assert gs == pytest.approx(ws, rel=1e-9), (round_i, q, name)
