@@ -660,6 +660,18 @@ def _q_phrase_positional_distributed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked: each doc carries a genuine 16-bit
+    mono PCM WAV (spec-conformant RIFF/WAVE, audiocodec.encode_wav) whose
+    samples are a closed form of doc_id; the pure-numpy parser decodes the
+    fmt/data chunks and emits duration/mean/RMS that the DuckDB oracle
+    recomputes from the closed form — a header, sample-width, or sign bug
+    shifts every number."""
+    from sync2any_spark.pipeline.multimodal import attach_audio_blob, audio_features
+
+    return audio_features(attach_audio_blob(_docs(spark, sf_dir), "doc_id"))
+
+
 def _q_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A24 lag/throughput metrics: per-conversation delay between the
     newest source event and a pinned index-build time (the reference's
@@ -763,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sharded_serving_transcripts": _q_bm25_sharded_serving,
         "alert_events_events": _q_alert_events,
         "lag_metrics_transcripts": _q_lag_metrics,
+        "audio_features_documents": _q_audio_features,
     }
 
 
@@ -1432,6 +1445,28 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_topk_positional_distributed_transcripts"] = out[
         "phrase_topk_transcripts"
     ]
+    # closed-form replay of the WAV decode: n = 800 + (doc_id%5)*160
+    # samples of ((id*7 + i*13) mod 65536) - 32768 at 8 kHz
+    out["audio_features_documents"] = """
+        WITH d AS (SELECT doc_id FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, 800 + (doc_id % 5)::INT * 160 - 1))
+                   AS i
+          FROM d
+        ),
+        v AS (
+          SELECT doc_id, ((doc_id * 7 + i * 13) % 65536 - 32768)::DOUBLE AS x
+          FROM s
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_samples,
+               8000 AS sample_rate,
+               round(count(*) / 8000.0, 6) AS duration_s,
+               round(avg(x), 6) AS mean_amp,
+               round(sqrt(avg(x * x)), 6) AS rms
+        FROM v GROUP BY doc_id
+    """
     # A24 per-conversation lag vs a pinned index time
     out["lag_metrics_transcripts"] = f"""
         SELECT conv_id,

@@ -229,6 +229,69 @@ def sample_frames(
     return blobs.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, duration_s double, "
+    "mean_amp double, rms double"
+)
+
+
+def attach_audio_blob(df: DataFrame, id_col: str, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL audio payload per row: a 16-bit mono PCM WAV
+    whose samples are a closed form of the row id —
+    ``sample(i) = ((id·7 + i·13) mod 65536) − 32768`` over
+    ``n = 800 + (id mod 5)·160`` samples — so a SQL oracle can predict
+    every decoded feature without any audio library. The bytes are genuine
+    spec-conformant WAVs (``audiocodec.encode_wav``); decoding them
+    exercises the full real parser path."""
+
+    def synth(batches):
+        from .audiocodec import encode_wav
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blobs = []
+            for i in ids:
+                n = 800 + (int(i) % 5) * 160
+                s = ((int(i) * 7 + np.arange(n, dtype=np.int64) * 13) % 65536) - 32768
+                blobs.append(encode_wav(s.astype(np.int16), sample_rate))
+            yield pd.DataFrame(
+                {"doc_id": ids, "blob": blobs, "mime": ["audio/wav"] * len(ids)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id long, blob binary, mime string"
+    )
+
+
+def audio_features(blobs: DataFrame) -> DataFrame:
+    """Real WAV decode → per-payload features (sample count, rate,
+    duration, mean amplitude, RMS) via ``mapInPandas`` — the
+    feature-extraction shape for audio payloads; every number is a pure
+    function of the decoded PCM, so a header/width/sign bug shifts it."""
+
+    def run(batches):
+        from .audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "n_samples", "sample_rate", "duration_s",
+                     "mean_amp", "rms")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                meta, pcm = decode_wav(bytes(blob))
+                x = pcm.astype(np.float64).ravel()
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(meta["n_samples"])
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["duration_s"].append(
+                    round(meta["n_samples"] / meta["sample_rate"], 6)
+                )
+                rows["mean_amp"].append(round(float(x.mean()), 6))
+                rows["rms"].append(round(float(np.sqrt((x * x).mean())), 6))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id long, frame_idx int, width int, height int, "
     "mean_r double, mean_g double, mean_b double"

@@ -614,3 +614,43 @@ def test_jpeg_420_subsampling_and_image_dispatch(spark):
     meta, frames = decode_avi_frames(avi)
     assert meta["codec"] == "MJPG" and len(frames) == 2
     assert np.array_equal(frames[0][1], out)
+
+
+def test_audio_codec_and_features(spark):
+    """WAV/PCM codec (pure numpy): encode→decode identity for mono and
+    stereo int16; non-PCM format tags rejected by name; the Spark
+    audio-features operator matches a direct numpy evaluation of the
+    closed-form fixture."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.audiocodec import decode_wav, encode_wav
+    from sync2any_spark.pipeline.multimodal import attach_audio_blob, audio_features
+
+    rng = np.random.default_rng(21)
+    mono = rng.integers(-32768, 32768, 777).astype(np.int16)
+    meta, pcm = decode_wav(encode_wav(mono, 16000))
+    assert meta["sample_rate"] == 16000 and meta["n_samples"] == 777
+    assert np.array_equal(pcm.ravel(), mono.astype(np.int32))
+    stereo = rng.integers(-32768, 32768, (300, 2)).astype(np.int16)
+    m2, p2 = decode_wav(encode_wav(stereo))
+    assert m2["channels"] == 2 and np.array_equal(p2, stereo.astype(np.int32))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"never a wav")
+    bad = bytearray(encode_wav(mono))
+    bad[bad.find(b"fmt ") + 8] = 3  # IEEE-float tag
+    with pytest.raises(NotImplementedError, match="format tag 3"):
+        decode_wav(bytes(bad))
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in audio_features(attach_audio_blob(ids, "doc_id")).collect()
+    }
+    for i in range(6):
+        n = 800 + i % 5 * 160
+        x = (((i * 7 + np.arange(n) * 13) % 65536) - 32768).astype(np.float64)
+        r = got[i]
+        assert r.n_samples == n and r.sample_rate == 8000
+        assert r.duration_s == pytest.approx(n / 8000.0, abs=1e-6)
+        assert r.mean_amp == pytest.approx(x.mean(), abs=1e-5)
+        assert r.rms == pytest.approx(np.sqrt((x * x).mean()), abs=1e-5)
