@@ -1,12 +1,13 @@
 """Pure-numpy baseline JPEG codec — the MJPEG plug-in, no libjpeg.
 
 Decoder: baseline sequential DCT JPEG (ITU-T T.81) — marker parse
-(DQT/SOF0/DHT/SOS), canonical Huffman decode with DC prediction and
-0xFF00 byte-unstuffing, de-zigzag, dequantization, 8×8 IDCT (exact
-DCT-III matrix form), level shift, and JFIF YCbCr→RGB for 3-component
-scans. Progressive (SOF2) and arithmetic-coded streams raise — baseline is
-what MJPEG produces. Sampling: 4:4:4 and grayscale (MJPEG's common
-all-intra shapes); subsampled chroma raises with the factor named.
+(DQT/SOF0/DHT/DRI/SOS), canonical Huffman decode with DC prediction,
+restart-marker handling (byte realign + predictor reset every DRI
+interval), 0xFF00 byte-unstuffing, de-zigzag, dequantization, 8×8 IDCT
+(exact DCT-III matrix form), level shift, nearest-neighbor chroma
+upsampling, and JFIF YCbCr→RGB for 3-component scans. Sampling factors 1
+and 2 (grayscale, 4:4:4, 4:2:2, 4:2:0 — everything MJPEG cameras emit);
+progressive (SOF2) and arithmetic-coded streams raise by marker.
 
 Encoder: a RESTRICTED exact encoder for test fixtures — images constant
 per 8×8 block, quantization tables of all ones, standard Annex K Huffman
@@ -127,7 +128,8 @@ def idct2(block: np.ndarray) -> np.ndarray:
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
-        # un-stuff 0xFF00 → 0xFF
+        # un-stuff 0xFF00 → 0xFF (restart markers 0xFFD0-D7 are untouched
+        # and consumed explicitly via skip_restart)
         self.data = data.replace(b"\xff\x00", b"\xff")
         self.pos = 0  # bit position
 
@@ -142,6 +144,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def skip_restart(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 E.1.4: entropy
+        segments are padded to a byte boundary before each restart)."""
+        self.pos = (self.pos + 7) & ~7
+        i = self.pos >> 3
+        if not (self.data[i] == 0xFF and 0xD0 <= self.data[i + 1] <= 0xD7):
+            raise ValueError(
+                f"expected restart marker at byte {i}, found "
+                f"{self.data[i:i + 2]!r}"
+            )
+        self.pos += 16
 
 
 def _extend(v: int, s: int) -> int:
@@ -169,6 +183,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     scan_comps = None
     scan_data = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -204,6 +219,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) — libjpeg "
                 f"plugs in here; MJPEG streams are baseline"
             )
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -277,8 +294,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         dq[ZIGZAG] = coef * qt[comp["tq"]]
         return idct2(dq.reshape(8, 8)) + 128.0
 
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.skip_restart()
+                for cid in pred:
+                    pred[cid] = 0
+            mcu_count += 1
             for sc in scan_comps:
                 comp = by_id[sc["id"]]
                 dc_t = huff[(0, sc["dc"])]
@@ -328,6 +351,19 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-padding) and emit RSTn — the marker bytes are NOT
+        stuffed (they must survive as a marker)."""
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1
+            self.bytes.append(self.acc)
+            if self.acc == 0xFF:
+                self.bytes.append(0x00)
+            self.acc = 0
+            self.n = 0
+        self.bytes += bytes([0xFF, 0xD0 + (idx % 8)])
+
     def flush(self) -> bytes:
         if self.n:
             self.acc <<= 8 - self.n
@@ -350,7 +386,9 @@ def _dht_segment(tc: int, th: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_blocks(img: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_jpeg_blocks(
+    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """Exact baseline JPEG for a BLOCK-CONSTANT image (grayscale (H, W) or
     RGB (H, W, 3)): all-ones quant tables, Annex K Huffman, DC-only blocks
     + EOB. ``subsampling="444"`` needs constant 8×8 blocks and
@@ -397,6 +435,8 @@ def encode_jpeg_blocks(img: np.ndarray, subsampling: str = "444") -> bytes:
     out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, AC_LUMA)
     if not gray:
         out += _dht_segment(0, 1, DC_CHROMA) + _dht_segment(1, 1, AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
@@ -425,15 +465,30 @@ def encode_jpeg_blocks(img: np.ndarray, subsampling: str = "444") -> bytes:
         code, length = ac_codes[ci][0x00]  # EOB
         wtr.write(code, length)
 
+    mcu_count = 0
+    rst_idx = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst_idx
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            wtr.restart(rst_idx)
+            rst_idx += 1
+            for ci in range(nc):
+                pred[ci] = 0
+
     if tile == 8:
         for byy in range(th_):
             for bxx in range(tw_):
+                maybe_restart()
+                mcu_count += 1
                 for ci in range(nc):
                     put_block(ci, planes[ci][byy * 8, bxx * 8])
     else:
         # 4:2:0 MCU = 4 Y blocks (raster) + Cb + Cr, all constant per tile
         for myy in range(th_):
             for mxx in range(tw_):
+                maybe_restart()
+                mcu_count += 1
                 c = planes[0][myy * 16, mxx * 16]
                 for _ in range(4):
                     put_block(0, c)

@@ -654,3 +654,28 @@ def test_audio_codec_and_features(spark):
         assert r.duration_s == pytest.approx(n / 8000.0, abs=1e-6)
         assert r.mean_amp == pytest.approx(x.mean(), abs=1e-5)
         assert r.rms == pytest.approx(np.sqrt((x * x).mean()), abs=1e-5)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn handling (T.81 E.1.4): restart intervals byte-realign the
+    scan and reset DC predictors; decode is identical across intervals,
+    and a corrupted restart position fails loudly."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.jpegcodec import decode_jpeg, encode_jpeg_blocks
+
+    rng = np.random.default_rng(23)
+    g = np.repeat(np.repeat(rng.integers(0, 256, (4, 5)), 8, 0), 8, 1).astype(np.uint8)
+    for ri in (1, 2, 7):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_blocks(g, restart_interval=ri)), g
+        ), ri
+    c = np.repeat(np.repeat(rng.integers(0, 256, (2, 3, 3)), 16, 0), 16, 1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_blocks(c, subsampling="420", restart_interval=2))
+    assert int(np.abs(out.astype(int) - c.astype(int)).max()) <= 1
+    # DRI promised restarts but the stream has none → loud failure
+    jb = bytearray(encode_jpeg_blocks(g))
+    i = jb.find(b"\xff\xda")
+    jb[i:i] = b"\xff\xdd" + (4).to_bytes(2, "big") + (2).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(jb))
