@@ -95,9 +95,15 @@ def phase_build(cpus: int, out_path: str) -> None:
         span_mb=4,
     )
     wall = time.time() - t0
+    # read-optimize for the query phase (the ES force-merge before serving;
+    # reported as its own stage, NOT part of indexing throughput — the
+    # reference's ES baseline numbers exclude POST /_forcemerge the same way)
+    from sync2any_spark.index.builder import force_merge_postings
+
+    fm = force_merge_postings(spark, idx)
     import pyarrow.dataset as pads
 
-    stage_walls = {}
+    stage_walls = {"force_merge": round(fm["wall_s"], 2)}
     m = pads.dataset(os.path.join(idx, "metrics")).to_table().to_pandas()
     for r in m[m.key == "wall_s"].itertuples(index=False):
         stage_walls[r.stage] = round(float(r.value), 2)
@@ -121,7 +127,10 @@ def phase_query(cpus: int, out_path: str) -> None:
     tag = sf_tag(SF_DIR)
     idx = _index_dir(f"{tag}x{MULT}", cpus)
     spark = get_spark(f"bench_query_c{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    searcher = IndexSearcher(spark, idx, cache=True)
+    # no cache=True: the driver path's default scan is the direct pyarrow
+    # fetch (zero Spark jobs) — a pinned Spark relation would never be
+    # touched and would switch the default to the slower Spark scan
+    searcher = IndexSearcher(spark, idx)
     queries = pq.read_table(ensure_queries()).to_pandas()
 
     # Measures IndexSearcher.search = the self-dispatching driver path

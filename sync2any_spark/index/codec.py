@@ -101,8 +101,12 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def vb_decode(buf: bytes) -> np.ndarray:
+def vb_decode(buf: "bytes | np.ndarray") -> np.ndarray:
     """Decode a varbyte buffer back to an int64 array (vectorized).
+
+    Accepts ``bytes`` or an already-viewed ``uint8`` array (the arrow-native
+    fetch path hands Arrow data buffers straight in — no intermediate Python
+    ``bytes`` object is ever built).
 
     Hot-path notes: the per-value byte groups are summed with
     ``np.add.reduceat`` over the group starts (buffered, ~20× faster than
@@ -110,36 +114,120 @@ def vb_decode(buf: bytes) -> np.ndarray:
     hot-term query latency), and the all-single-byte case (tfs/dls/gaps
     < 128, the overwhelmingly common shape) short-circuits to one masked
     cast."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     is_last = (b & 0x80) == 0
     if is_last.all():  # every value fits 7 bits — no continuations
         return (b & np.uint8(0x7F)).astype(np.int64)
-    start_mask = np.empty(b.size, dtype=bool)
-    start_mask[0] = True
-    start_mask[1:] = is_last[:-1]
-    starts = np.flatnonzero(start_mask)
-    # per-VALUE single/multi split: a value is single-byte iff its start
-    # byte terminates it. Single values (dense-gap postings make them ~98%
-    # of the stream) fill by one gather; only the rare multi-byte values'
-    # bytes go through the grouped-shift path — no per-byte prefix sums on
-    # the full stream (the former per-byte cumsum dominated hot-term
-    # decode).
-    single = is_last[starts]
-    out = np.empty(starts.size, dtype=np.int64)
-    out[single] = b[starts[single]] & np.uint8(0x7F)
-    mb = np.flatnonzero(~(start_mask & is_last))  # bytes of multi values
-    bm = b[mb]
-    ilm = is_last[mb]
-    starts_m = np.flatnonzero(np.concatenate(([True], ilm[:-1])))
-    group = np.zeros(bm.size, dtype=np.int64)
-    group[starts_m[1:]] = 1
-    group = np.cumsum(group)
-    pos = np.arange(bm.size, dtype=np.int64) - starts_m[group]
-    contrib = (bm & np.uint8(0x7F)).astype(np.uint64) << (pos * 7).astype(np.uint64)
-    out[~single] = np.add.reduceat(contrib, starts_m).astype(np.int64)
-    return out
+    # Value ends are the non-continuation bytes; start from the assumption
+    # that every value is its (7-bit-masked) last byte — exactly right for
+    # single-byte values, the 98%+ case — then PATCH the rare multi-byte
+    # values: their last byte moves to its true (top) shift and their
+    # continuation bytes' shifted contributions are added group-wise with
+    # one reduceat. Only THREE passes touch the full stream (mask,
+    # flatnonzero, gather); everything else is sized by the continuation
+    # count. (The former path ran ~8 full-stream passes — it dominated
+    # hot-term decode.)
+    idx_last = np.flatnonzero(is_last)  # value end positions (out size)
+    out = (b[idx_last] & np.uint8(0x7F)).astype(np.uint64)
+    cont = np.flatnonzero(~is_last)  # continuation-byte positions (rare)
+    # value index of each continuation byte: first value end at/after it
+    vidx = np.searchsorted(idx_last, cont, side="left")
+    # value start = previous value's end + 1 (0 for the first value)
+    starts = np.empty(idx_last.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = idx_last[:-1] + 1
+    shift = ((cont - starts[vidx]) * 7).astype(np.uint64)
+    add = (b[cont] & np.uint8(0x7F)).astype(np.uint64) << shift
+    # per-value sums of the continuation contributions (groups of `vidx`
+    # are contiguous): one reduceat over the small `add` array
+    chg = np.flatnonzero(np.concatenate(([True], vidx[1:] != vidx[:-1])))
+    mb = vidx[chg]  # the multi-byte values' indices, unique ascending
+    # last byte of a multi-byte value sits at the TOP shift, not 0
+    out[mb] <<= ((idx_last[mb] - starts[mb]) * 7).astype(np.uint64)
+    out[mb] += np.add.reduceat(add, chg)
+    return out.view(np.int64)  # values < 2^63 — reinterpret, no copy
+
+
+def _arrow_chunk_values(chunk) -> np.ndarray:
+    """The value bytes of ONE Arrow binary array, row-concatenated, as a
+    zero-copy uint8 view on its data buffer (offsets are monotone, so the
+    bytes between offsets[0] and offsets[-1] are exactly
+    ``b"".join(rows)`` — without materializing a single Python bytes
+    object)."""
+    import pyarrow as pa
+
+    bufs = chunk.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        chunk.offset : chunk.offset + len(chunk) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[int(offs[0]) : int(offs[-1])]
+
+
+def arrow_binary_bytes(col) -> np.ndarray:
+    """All value bytes of an Arrow binary / large_binary (possibly chunked)
+    column in row order as one uint8 array. Zero-copy per chunk; a single
+    ``np.concatenate`` only when the column arrived in multiple chunks.
+    This replaces the former ``.to_pandas()`` + ``b"".join(...)`` fetch
+    shape, which built one Python bytes object per BLOCK plus a full copy
+    for the join — the dominant cost of hot-term driver queries
+    (round-3 q8: ~250 of ~340 ms was the fetch)."""
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    views = [_arrow_chunk_values(c) for c in chunks if len(c)]
+    if not views:
+        return np.empty(0, dtype=np.uint8)
+    if len(views) == 1:
+        return views[0]
+    return np.concatenate(views)
+
+
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared 3-thread pool for the per-column varbyte decodes — numpy's
+    ufunc inner loops release the GIL, so the three independent column
+    decodes overlap (~1.7× on the hot-term driver path). Lazy so importing
+    the codec in executors never spawns threads."""
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _DECODE_POOL = ThreadPoolExecutor(3)
+    return _DECODE_POOL
+
+
+def decode_block_batch_arrow(
+    tbl, parallel: bool = True
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """``decode_block_batch`` straight off an Arrow table of posting blocks
+    (columns doc_ids/tfs/dls/n_docs) — the arrow-native driver fetch path:
+    three varbyte decodes over zero-copy buffer views (run concurrently on
+    the decode pool unless ``parallel=False`` — callers already inside a
+    worker thread decode serially to keep the pool deadlock-free), no
+    per-block Python bytes, no join copy."""
+    counts = tbl.column("n_docs").to_numpy().astype(np.int64)
+    bounds = np.zeros(len(counts) + 1, dtype=np.int64)
+    bounds[1:] = np.cumsum(counts)
+    if parallel:
+        pool = _decode_pool()
+        futs = [
+            pool.submit(lambda c=c: vb_decode(arrow_binary_bytes(tbl.column(c))))
+            for c in ("doc_ids", "tfs", "dls")
+        ]
+        gaps, tfs, dls = (f.result() for f in futs)
+    else:
+        gaps = vb_decode(arrow_binary_bytes(tbl.column("doc_ids")))
+        tfs = vb_decode(arrow_binary_bytes(tbl.column("tfs")))
+        dls = vb_decode(arrow_binary_bytes(tbl.column("dls")))
+    total = np.cumsum(gaps)
+    corrections = np.zeros(len(counts), dtype=np.int64)
+    corrections[1:] = total[bounds[1:-1] - 1]
+    ids = total - np.repeat(corrections, counts)
+    return ids, tfs, dls
 
 
 def decode_block_batch(

@@ -47,21 +47,69 @@ class WriteFS:
             self.fs.create_dir(path, recursive=True)
 
     # -- parquet -----------------------------------------------------------
-    def write_table(self, table, path: str, compression: str = "zstd") -> None:
+    def write_table(
+        self, table, path: str, compression="zstd", row_group_size=None
+    ) -> None:
+        """``compression`` may be a codec name or a per-column dict (the
+        postings files store the varbyte columns uncompressed — see
+        ``builder.POSTINGS_COMPRESSION``)."""
         import pyarrow.parquet as pq
 
+        kw = {"compression": compression}
+        if row_group_size is not None:
+            kw["row_group_size"] = row_group_size
         if self.fs is None:
             tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(table, tmp, compression=compression)
+            pq.write_table(table, tmp, **kw)
             os.replace(tmp, path)
         elif self.atomic_rename:
             tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(table, tmp, filesystem=self.fs, compression=compression)
+            pq.write_table(table, tmp, filesystem=self.fs, **kw)
             self.fs.move(tmp, path)
         else:
             # object store: the PUT is all-or-nothing; visibility is gated
             # by the manifest written after this call
-            pq.write_table(table, path, filesystem=self.fs, compression=compression)
+            pq.write_table(table, path, filesystem=self.fs, **kw)
+
+    # -- listing / cleanup / reads (driver-side resume bookkeeping) --------
+    # These run on the DRIVER: with ``fs`` set, the manifests/worklists the
+    # tasks wrote to the object store are read back through the same
+    # filesystem, and stale-file cleanup removes the remote files the local
+    # os.listdir would never see (round-3 ADVICE).
+    def listdir(self, path: str) -> "list[str]":
+        if self.fs is None:
+            return os.listdir(path) if os.path.isdir(path) else []
+        from pyarrow.fs import FileSelector, FileType
+
+        try:
+            infos = self.fs.get_file_info(FileSelector(path))
+        except (FileNotFoundError, OSError):
+            return []
+        return [
+            i.path.rsplit("/", 1)[-1]
+            for i in infos
+            if i.type != FileType.NotFound
+        ]
+
+    def remove(self, path: str) -> None:
+        if self.fs is None:
+            os.remove(path)
+        else:
+            self.fs.delete_file(path)
+
+    def exists(self, path: str) -> bool:
+        if self.fs is None:
+            return os.path.exists(path)
+        from pyarrow.fs import FileType
+
+        return self.fs.get_file_info(path).type != FileType.NotFound
+
+    def read_json(self, path: str):
+        if self.fs is None:
+            with open(path) as f:
+                return json.load(f)
+        with self.fs.open_input_stream(path) as f:
+            return json.loads(f.read().decode())
 
     # -- json sidecars (manifests — ALWAYS written after the data files) ----
     def write_json(self, obj, path: str) -> None:

@@ -134,7 +134,12 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def bit(self) -> int:
-        byte = self.data[self.pos >> 3]
+        i = self.pos >> 3
+        if i >= len(self.data):
+            # a truncated scan must surface as the codec's ValueError
+            # contract, not a raw IndexError from inside the Huffman walk
+            raise ValueError("truncated JPEG scan")
+        byte = self.data[i]
         b = (byte >> (7 - (self.pos & 7))) & 1
         self.pos += 1
         return b
@@ -150,6 +155,8 @@ class _BitReader:
         segments are padded to a byte boundary before each restart)."""
         self.pos = (self.pos + 7) & ~7
         i = self.pos >> 3
+        if i + 1 >= len(self.data):
+            raise ValueError("truncated JPEG scan")
         if not (self.data[i] == 0xFF and 0xD0 <= self.data[i + 1] <= 0xD7):
             raise ValueError(
                 f"expected restart marker at byte {i}, found "
@@ -193,7 +200,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (segment length cut off)")
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if pos + seglen > len(data):
+            raise ValueError("truncated JPEG stream (segment body cut off)")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -228,6 +239,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 counts = list(seg[p + 1 : p + 17])
                 n = sum(counts)
                 symbols = list(seg[p + 17 : p + 17 + n])
+                if len(counts) < 16 or len(symbols) < n:
+                    raise ValueError("malformed DHT segment (symbols cut off)")
                 huff[(tc, th)] = _decode_map(counts, symbols)
                 p += 17 + n
         elif marker == 0xDA:  # SOS

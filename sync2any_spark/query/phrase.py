@@ -150,6 +150,54 @@ def phrase_candidates(searcher, uniq: "list[str]") -> DataFrame:
     )
 
 
+def decode_term_postings(g):
+    """One term's block frame → (doc-sorted ids, per-posting tfs, flat
+    positions gathered to that order, dls). Shared by the driver phrase
+    core and the serving tier's candidate-bounded slot fetch (salted
+    streams are disjoint by doc, so the sort is a permutation)."""
+    import numpy as np
+
+    from ..index.codec import decode_block_batch, decode_positions
+
+    ids, tfs, dls = decode_block_batch(
+        g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
+    )
+    pos = decode_positions(b"".join(g["pos"]), tfs)
+    order = np.argsort(ids, kind="stable")
+    off = np.cumsum(tfs) - tfs
+    lens_out = tfs[order]
+    m = int(lens_out.sum())
+    out_start = np.cumsum(lens_out) - lens_out
+    gather = (
+        np.repeat(off[order], lens_out)
+        + np.arange(m, dtype=np.int64)
+        - np.repeat(out_start, lens_out)
+    )
+    return ids[order], lens_out, pos[gather], dls[order]
+
+
+def _adjacency_ptfs(terms: "list[str]", slices: dict, n_cand: int):
+    """Per-candidate phrase frequency: ptf(doc) = |{p ∈ P_0(doc) : p+j ∈
+    P_j(doc) ∀j}| — per-doc position-set intersections over numpy slices
+    (duplicate phrase terms reuse the same term's positions at their
+    offset — Lucene semantics). ``slices[t] = (starts, lens, flat_pos)``
+    indexed by candidate position."""
+    import numpy as np
+
+    ptfs = np.zeros(n_cand, dtype=np.int64)
+    for i in range(n_cand):
+        s0, l0, p0 = slices[terms[0]]
+        match = p0[s0[i] : s0[i] + l0[i]]
+        for j, t in enumerate(terms[1:], start=1):
+            if match.size == 0:
+                break
+            sj, lj, pj = slices[t]
+            nxt = pj[sj[i] : sj[i] + lj[i]]
+            match = match[np.isin(match + j, nxt, assume_unique=True)]
+        ptfs[i] = match.size
+    return ptfs
+
+
 def _phrase_from_blocks(
     pdf, terms: "list[str]", uniq: "list[str]", dfs: dict,
     n_docs: int, avgdl: float, deleted, k: int,
@@ -159,28 +207,11 @@ def _phrase_from_blocks(
     the RAM-resident serving tier."""
     import numpy as np
 
-    from ..index.codec import decode_block_batch, decode_positions
     from .wand import _alive_mask, idf
 
     # per-term (doc_id, tfs, flat positions), doc-sorted with positions
     # carried along (salted streams are disjoint by doc)
-    by_term: dict = {}
-    for term, g in pdf.groupby("term"):
-        ids, tfs, dls = decode_block_batch(
-            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
-        )
-        pos = decode_positions(b"".join(g["pos"]), tfs)
-        order = np.argsort(ids, kind="stable")
-        off = np.cumsum(tfs) - tfs
-        lens_out = tfs[order]
-        m = int(lens_out.sum())
-        out_start = np.cumsum(lens_out) - lens_out
-        gather = (
-            np.repeat(off[order], lens_out)
-            + np.arange(m, dtype=np.int64)
-            - np.repeat(out_start, lens_out)
-        )
-        by_term[term] = (ids[order], lens_out, pos[gather], dls[order])
+    by_term: dict = {term: decode_term_postings(g) for term, g in pdf.groupby("term")}
 
     # candidates = docs containing ALL terms (sorted-array intersections)
     cand = by_term[uniq[0]][0]
@@ -201,17 +232,7 @@ def _phrase_from_blocks(
         idx = np.searchsorted(ids_t, cand)
         slices[t] = (starts[idx], tfs_t[idx], pos_t)
 
-    ptfs = np.zeros(cand.size, dtype=np.int64)
-    for i in range(cand.size):
-        s0, l0, p0 = slices[terms[0]]
-        match = p0[s0[i] : s0[i] + l0[i]]
-        for j, t in enumerate(terms[1:], start=1):
-            if match.size == 0:
-                break
-            sj, lj, pj = slices[t]
-            nxt = pj[sj[i] : sj[i] + lj[i]]
-            match = match[np.isin(match + j, nxt, assume_unique=True)]
-        ptfs[i] = match.size
+    ptfs = _adjacency_ptfs(terms, slices, cand.size)
 
     hit = ptfs > 0
     cand, ptfs = cand[hit], ptfs[hit]

@@ -24,7 +24,7 @@ import pandas as pd
 from .. import B, K1
 from ..index.codec import decode_block_batch, decode_doc_ids, decode_tfs
 from ..tokenize import tokenize
-from .wand import _Cursor, _bmw_topk, idf
+from .wand import _Cursor, _bmw_topk, bm25_contrib, idf
 
 BLOCK_COLS = [
     "term", "salt", "block_id", "min_doc", "max_doc",
@@ -59,15 +59,21 @@ class ShardedSearcher:
         self.shards = shards
 
     @classmethod
-    def build(cls, index_dir: str, n_shards: int) -> "ShardedSearcher":
-        """Split the index's buckets round-robin over n_shards nodes."""
+    def build(
+        cls, index_dir: str, n_shards: int, with_positions: bool = False
+    ) -> "ShardedSearcher":
+        """Split the index's buckets round-robin over n_shards nodes
+        (``with_positions=True`` loads the pos column on every node —
+        required for ``search_phrase``)."""
         from ..index.builder import read_index_meta
 
         n_buckets = int(read_index_meta(index_dir)["n_buckets"])
         return cls(
             [
                 LocalSearcher(
-                    index_dir, buckets=list(range(s, n_buckets, n_shards))
+                    index_dir,
+                    with_positions=with_positions,
+                    buckets=list(range(s, n_buckets, n_shards)),
                 )
                 for s in range(n_shards)
             ]
@@ -84,6 +90,95 @@ class ShardedSearcher:
 
         uniq, scores = _group_sum(ids, contrib)
         return _topk(uniq, scores, k)
+
+    def _owner(self, term: str) -> "LocalSearcher | None":
+        """The shard holding a term's bucket (a term's WHOLE posting list
+        lives in exactly one bucket, so exactly one shard owns it)."""
+        from ..index.bucketing import bucket_of
+
+        n_buckets = int(self.shards[0].meta["n_buckets"])
+        b = bucket_of(term, n_buckets)
+        for s in self.shards:
+            if s.buckets is None or b in s.buckets:
+                return s
+        return None
+
+    def search_phrase(self, phrase: str, k: int = 10) -> "list[tuple[int, float]]":
+        """Cross-shard match_phrase (round-3 Missing #2): a phrase's terms
+        can hash to buckets on DIFFERENT nodes, and adjacency needs their
+        positions together — the partial-SUM trick of ``search`` does not
+        transfer. The protocol is a two-round occurrence exchange:
+
+        1. each term's owner returns its sorted doc ids (8 B/posting); the
+           coordinator intersects rarest-first into the candidate set and
+           drops tombstones — no positions have moved yet;
+        2. each owner returns (slot-start, len, positions, dl) partials for
+           the CANDIDATE docs only (blocks outside the candidate range are
+           pruned before decode), and the coordinator runs the same
+           adjacency intersection as the single-node core
+           (``phrase._adjacency_ptfs``) and scores with the summed-idf
+           Lucene PhraseQuery weight.
+
+        Exchange volume is bounded by the rarest term's postings (round 1)
+        plus the candidates' occurrences (round 2) — a stop-word slot never
+        ships its whole position list. Rank/score-identical to
+        ``LocalSearcher.search_phrase`` on one node (tested)."""
+        from .phrase import _adjacency_ptfs
+        from .wand import _alive_mask
+
+        terms = tokenize(phrase)
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return []
+        owners = {}
+        for t in uniq:
+            own = self._owner(t)
+            if own is None:
+                return []
+            owners[t] = own
+        docs = {}
+        for t in uniq:
+            d = owners[t].phrase_term_docs(t)
+            if d is None or d.size == 0:
+                return []
+            docs[t] = d
+        # rarest-first intersection bounds every later step by the
+        # smallest posting list (the Lucene PhraseQuery candidate bound)
+        by_rarity = sorted(uniq, key=lambda t: docs[t].size)
+        cand = docs[by_rarity[0]]
+        for t in by_rarity[1:]:
+            cand = cand[np.isin(cand, docs[t], assume_unique=True)]
+            if cand.size == 0:
+                return []
+        deleted = self.shards[0].deleted
+        if deleted.size:
+            cand = cand[_alive_mask(deleted, cand)]
+            if cand.size == 0:
+                return []
+        slices = {}
+        dl = None
+        for t in uniq:
+            s, ln, pos, dls = owners[t].phrase_term_slots(t, cand)
+            slices[t] = (s, ln, pos)
+            if t == uniq[0]:
+                dl = dls
+        ptfs = _adjacency_ptfs(terms, slices, cand.size)
+        hit = ptfs > 0
+        cand, ptfs, dl = cand[hit], ptfs[hit], dl[hit]
+        if cand.size == 0:
+            return []
+        node = self.shards[0]
+        dfs = {t: owners[t]._df_of(t, owners[t]._term_blocks(t)) for t in uniq}
+        if any(dfs[t] <= 0 for t in uniq):
+            return []
+        from .wand import idf
+
+        idf_sum = sum(idf(node.n_docs, dfs[t]) for t in uniq)
+        dl = dl.astype(np.float64)
+        scores = idf_sum * ptfs / (
+            ptfs + K1 * (1.0 - B + B * dl / node.avgdl)
+        )
+        return _topk(cand, scores, k)
 
 
 class LocalSearcher:
@@ -214,6 +309,52 @@ class LocalSearcher:
             return int(self._live_df.get(term, 0))
         return int(g["n_docs"].sum())
 
+    # -- cross-shard phrase protocol (coordinator: ShardedSearcher) --------
+    def phrase_term_docs(self, term: str) -> "np.ndarray | None":
+        """Phase-1 partial: the SORTED doc ids of one owned term (None if
+        the shard doesn't hold it). 8 bytes/posting on the wire — the cheap
+        exchange the coordinator's candidate intersection needs before any
+        positions move."""
+        g = self._term_blocks(term)
+        if g is None:
+            return None
+        ids, _tfs, _dls = decode_block_batch(
+            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
+        )
+        return np.sort(ids)
+
+    def phrase_term_slots(
+        self, term: str, cand: np.ndarray
+    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+        """Phase-2 partial: (starts, lens, flat positions, dls) of one
+        owned term restricted to the CANDIDATE docs — the occurrence
+        exchange is bounded by the candidate set, never a term's whole
+        posting list. Blocks whose [min_doc, max_doc] range misses every
+        candidate are pruned before decode (block-max metadata reused as a
+        positional skip list). Requires ``with_positions=True``."""
+        if not self._with_positions:
+            raise ValueError("phrase slots need LocalSearcher(with_positions=True)")
+        from .phrase import decode_term_postings
+
+        g = self._term_blocks(term)
+        mn = g["min_doc"].to_numpy()
+        mx = g["max_doc"].to_numpy()
+        lo = np.searchsorted(cand, mn)
+        hi = np.searchsorted(cand, mx, side="right")
+        g = g.iloc[np.flatnonzero(hi > lo)]
+        ids, tfs, pos, dls = decode_term_postings(g)
+        idx = np.searchsorted(ids, cand)  # cand ⊆ ids by construction
+        starts_all = np.cumsum(tfs) - tfs
+        s, ln = starts_all[idx], tfs[idx]
+        m = int(ln.sum())
+        out_start = np.cumsum(ln) - ln
+        gather = (
+            np.repeat(s, ln)
+            + np.arange(m, dtype=np.int64)
+            - np.repeat(out_start, ln)
+        )
+        return out_start, ln, pos[gather], dls[idx]
+
     def search_phrase(self, phrase: str, k: int = 10) -> "list[tuple[int, float]]":
         """match_phrase from the RAM-resident positional blocks — the ES
         serving-node execution (requires ``with_positions=True`` over an
@@ -281,10 +422,8 @@ class LocalSearcher:
             ids, tfs, dls = decode_block_batch(
                 g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
             )
-            tfs = tfs.astype(np.float64)
-            dls = dls.astype(np.float64)
             ids_all.append(ids)
-            contrib_all.append(w * tfs / (tfs + K1 * (1.0 - B + B * dls / self.avgdl)))
+            contrib_all.append(bm25_contrib(w, tfs, dls, self.avgdl))
         if not ids_all:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         ids = np.concatenate(ids_all)

@@ -44,6 +44,24 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def bm25_contrib(w, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """Per-posting BM25 contribution ``w · tf/(tf + k1·(1−b+b·dl/avgdl))``
+    with the constants folded — 4 ufunc passes instead of 7 on the hot
+    arrays, int→float upcast inside the loops (no astype copy). ``w`` may
+    be a scalar (one term) or a per-posting array. This is THE scoring
+    kernel: every vectorized path (driver arrow, driver pandas,
+    distributed mapInPandas, serving tier) calls it, so cross-path
+    rankings are bit-identical, not merely approx-equal."""
+    c1 = K1 * (1.0 - B)
+    c2 = K1 * B / avgdl
+    denom = c2 * dls
+    denom += c1
+    denom += tfs
+    out = w * tfs
+    out /= denom
+    return out
+
+
 @dataclass
 class _Cursor:
     """One (term, salt) posting stream: doc-ordered blocks, decoded lazily.
@@ -272,6 +290,23 @@ def _load_deletes(dirs: "list[str]") -> np.ndarray:
 # sub-second pyarrow fetch; anything larger belongs on the cluster.
 ROUTE_BUDGET = int(os.environ.get("SPARK_GRAFT_ROUTE_BUDGET", 10_000_000))
 
+# slice-parallel scoring kicks in above this many blocks (~256k postings —
+# below it thread fan-out overhead beats the win); numpy ufunc loops release
+# the GIL, so a small driver-side pool gives near-linear speedup on the
+# decode+score passes of hot-term queries
+_PARALLEL_BLOCKS = 2048
+_SCORE_THREADS = int(os.environ.get("SPARK_GRAFT_SCORE_THREADS", "4"))
+_SCORE_POOL = None
+
+
+def _score_pool():
+    global _SCORE_POOL
+    if _SCORE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SCORE_POOL = ThreadPoolExecutor(_SCORE_THREADS)
+    return _SCORE_POOL
+
 
 class IndexSearcher:
     """Query-side handle on an index directory built by index.builder.
@@ -279,8 +314,8 @@ class IndexSearcher:
     **Self-dispatching planner**: every query's cost is known BEFORE any
     scan — Σ df of its terms, read from the driver-resident term dictionary
     (the terms table, loaded once via pyarrow: the same in-memory term
-    dictionary every search engine holds; a sharded deployment loads only
-    its buckets' rows). At or below ``route_budget`` postings the
+    dictionary every search engine holds; ``buckets=[...]`` restricts a
+    sharded node to its buckets' rows — see ``_term_dfs``). At or below ``route_budget`` postings the
     low-latency driver path runs (pruned scan → collect → numpy); above it
     the query routes to ``search_distributed``, whose shuffle carries only
     (doc_id, contrib) partials — so a hot-term query can never pull an
@@ -301,6 +336,7 @@ class IndexSearcher:
         index_dir: str,
         cache: bool = False,
         route_budget: int = ROUTE_BUDGET,
+        buckets: "list[int] | None" = None,
     ) -> None:
         from ..index.builder import (
             deletes_sources,
@@ -315,11 +351,21 @@ class IndexSearcher:
         self.route_budget = route_budget
         self.meta = read_index_meta(index_dir)
         self.n_buckets = int(self.meta["n_buckets"])
+        # a sharded query tier gives each node a bucket subset: the node's
+        # term dictionary loads ONLY those buckets' rows (at 10^12 docs the
+        # full vocabulary is 10^8-10^9 terms — tens of GB; a bucket's slice
+        # is 1/n_buckets of that), mirroring ES's per-shard term dictionary
+        self.buckets = sorted(buckets) if buckets is not None else None
         paths = IndexPaths(index_dir)
         tv = int(self.meta.get("terms_version", 0))
         self._terms_path = paths.terms_v(tv)
         self._df_map: "pd.Series | None" = None  # lazy term dictionary
-        self._pa_datasets = None  # lazy pyarrow handles on the postings dirs
+        # lazy pyarrow handles, one per (segment root, bucket) partition dir
+        # — a query opens only its terms' buckets (fragment work stays
+        # O(query), not O(index)); remote (non-local-path) roots fall back
+        # to whole-root hive datasets
+        self._bucket_datasets: dict = {}
+        self._root_datasets: dict = {}
         # live corpus stats from the committed stats version (increments
         # commit a new version atomically via meta.json)
         st = spark.read.parquet(paths.stats_v(tv)).first()
@@ -346,6 +392,10 @@ class IndexSearcher:
         # the serving cache pins only the scoring columns, so the pos
         # column stays on disk until a phrase query prunes-and-reads it
         self._postings_full = self._postings
+        # with a pinned relation the Spark scan is the path that benefits —
+        # make it the default so callers don't pay cache materialization
+        # for a cache the pyarrow path would never touch
+        self._default_scan = "spark" if cache else "pyarrow"
         if cache:
             self._postings = self._postings.select(*self._block_cols, "bucket").cache()
             self._postings.count()  # materialize
@@ -374,11 +424,21 @@ class IndexSearcher:
         """Exact LIVE df per term from the driver-resident term dictionary
         (terms table, pyarrow-loaded once — no Spark job; the table is
         maintained exactly across increments, so this is always the live
-        df). Absent terms map to 0."""
+        df). With ``buckets`` set, ONLY those buckets' rows load — the
+        sharded-deployment memory bound (a term outside the shard's buckets
+        maps to 0, same as an absent term: that shard never owns its
+        postings). Absent terms map to 0."""
         if self._df_map is None:
             import pyarrow.dataset as ds
 
-            tbl = ds.dataset(self._terms_path).to_table(columns=["term", "df"])
+            bucket_filter = (
+                ds.field("bucket").isin(self.buckets)
+                if self.buckets is not None
+                else None
+            )
+            tbl = ds.dataset(self._terms_path).to_table(
+                columns=["term", "df"], filter=bucket_filter
+            )
             self._df_map = pd.Series(
                 tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64),
                 index=tbl.column("term").to_numpy(zero_copy_only=False),
@@ -394,42 +454,71 @@ class IndexSearcher:
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
         )
 
-    def _pruned_blocks_pandas(
-        self, qterms: "list[str]", with_pos: bool = False
-    ) -> pd.DataFrame:
+    def _pruned_blocks_arrow(self, qterms: "list[str]", with_pos: bool = False):
         """Pruned blocks fetched with a DIRECT pyarrow read — no Spark job,
-        no JVM→Python serialization. The same pruning the Spark scan gets:
-        ``bucket=`` hive partitions limit the files touched, the term
-        predicate prunes row groups via parquet column stats (merge output
-        is term-sorted within each file, so the stats are tight). This is
-        metadata-scale I/O — only the query terms' blocks are read — and
-        works against any pyarrow filesystem (local, S3, GCS). Bounded by
-        the route budget: above it the query never takes this path."""
+        no JVM→Python serialization, and (returned as an Arrow table) no
+        Python ``bytes`` materialization either: the scoring path decodes
+        straight off the Arrow binary buffers. The same pruning the Spark
+        scan gets: ``bucket=`` hive partitions limit the files touched, the
+        term predicate prunes row groups via parquet column stats (merge
+        output is term-sorted within each file, so the stats are tight).
+        This is metadata-scale I/O — only the query terms' blocks are read —
+        and works against any pyarrow filesystem (local, S3, GCS). Bounded
+        by the route budget: above it the query never takes this path."""
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
         from ..index.builder import postings_sources
         from ..index.bucketing import bucket_of
 
-        if self._pa_datasets is None:
-            self._pa_datasets = [
-                ds.dataset(d, partitioning="hive")
-                for d in postings_sources(self.index_dir, self.meta)
-            ]
         cols = self._block_cols + (["pos"] if with_pos else [])
         buckets = sorted({bucket_of(t, self.n_buckets) for t in qterms})
-        filt = ds.field("bucket").isin(buckets) & ds.field("term").isin(qterms)
-        parts = [
-            d.to_table(columns=cols, filter=filt).to_pandas()
-            for d in self._pa_datasets
-        ]
+        # one lazily-cached dataset PER (segment root, bucket) dir: the
+        # query only ever opens its terms' buckets, so per-call fragment
+        # work is O(files in those buckets), not O(files in the index) —
+        # a light query's fetch is a handful of footer-pruned row groups
+        filt = ds.field("term").isin(qterms)
+        parts = []
+        for root in postings_sources(self.index_dir, self.meta):
+            if "://" in root:
+                # remote root: one hive dataset over the whole root (the
+                # partition expression prunes buckets; no local listdir)
+                if root not in self._root_datasets:
+                    self._root_datasets[root] = ds.dataset(root, partitioning="hive")
+                parts.append(
+                    self._root_datasets[root].to_table(
+                        columns=cols,
+                        filter=ds.field("bucket").isin(buckets) & filt,
+                    )
+                )
+                continue
+            for b in buckets:
+                key = (root, b)
+                if key not in self._bucket_datasets:
+                    p = os.path.join(root, f"bucket={b}")
+                    self._bucket_datasets[key] = (
+                        ds.dataset(p) if os.path.isdir(p) else None
+                    )
+                d = self._bucket_datasets[key]
+                if d is not None:
+                    parts.append(d.to_table(columns=cols, filter=filt))
         if not parts:
-            return pd.DataFrame({c: [] for c in cols})
-        return pd.concat(parts, ignore_index=True)
+            return pa.table({c: [] for c in cols})
+        if len(parts) == 1:
+            return parts[0]
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    def _pruned_blocks_pandas(
+        self, qterms: "list[str]", with_pos: bool = False
+    ) -> pd.DataFrame:
+        """Pandas spelling of ``_pruned_blocks_arrow`` (the BMW-engine and
+        positional-phrase driver legs group per term in pandas)."""
+        return self._pruned_blocks_arrow(qterms, with_pos=with_pos).to_pandas()
 
     # -- low-latency path -------------------------------------------------
     def search(
         self, query: str, k: int = 10, engine: str = "vectorized",
-        route: str = "auto", scan: str = "pyarrow",
+        route: str = "auto", scan: "str | None" = None,
     ) -> list[tuple[int, float]]:
         """Top-k → [(doc_id, score)] rank-ordered, self-dispatching.
 
@@ -440,9 +529,13 @@ class IndexSearcher:
         k rows reach the driver. ``route="driver"``/``"distributed"`` force
         a path (tests, diagnostics).
 
-        Driver path scan: ``scan="pyarrow"`` (default) reads the pruned
-        blocks directly (bucket partitions + term row-group pruning, C++
-        reader, no Spark job — the budget-bounded fetch is a few MB);
+        Driver path scan: ``scan=None`` picks the searcher's default —
+        ``"pyarrow"`` normally, ``"spark"`` when the searcher was built with
+        ``cache=True`` (otherwise the pinned relation would never be
+        touched). ``scan="pyarrow"`` reads the pruned blocks directly
+        (bucket partitions + term row-group pruning, C++ reader, no Spark
+        job — the budget-bounded fetch is a few MB) and the vectorized
+        engine scores straight off the Arrow buffers (no Python bytes);
         ``scan="spark"`` keeps the Spark scan (the cached-relation path).
         Engines: ``engine="vectorized"`` (default) decodes every pruned
         block and scores with numpy — optimal when the blocks were fetched
@@ -462,7 +555,14 @@ class IndexSearcher:
         ):
             rows = self.search_distributed(query, k).collect()
             return [(int(r.doc_id), float(r.score)) for r in rows]
+        if scan is None:
+            scan = self._default_scan
         if scan == "pyarrow":
+            if engine == "vectorized":
+                tbl = self._pruned_blocks_arrow(qterms)
+                if tbl.num_rows == 0:
+                    return []
+                return self._vectorized_topk_arrow(tbl, qterms, dfs, k)
             pdf = self._pruned_blocks_pandas(qterms)
         else:
             pdf = self._pruned_blocks(qterms).select(*self._block_cols).toPandas()
@@ -493,6 +593,131 @@ class IndexSearcher:
             deleted=self.deleted if self.deleted.size else None,
         )
 
+    def _topk_from_postings(
+        self, ids: np.ndarray, contrib: np.ndarray, single_term: bool, k: int
+    ) -> list[tuple[int, float]]:
+        """Shared tail of the vectorized engines: tombstone drop → per-doc
+        sum → exact top-k with the engine-wide tie-break (score desc,
+        doc_id asc). ``single_term`` skips the merge pass (one posting per
+        doc — salted sub-streams are doc-disjoint)."""
+        if self.deleted.size:
+            alive = _alive_mask(self.deleted, ids)
+            ids, contrib = ids[alive], contrib[alive]
+        return self._topk_postsums(ids, contrib, single_term, k)
+
+    def _vectorized_topk_arrow(
+        self, tbl, qterms: "list[str]", dfs: dict[str, int], k: int
+    ) -> list[tuple[int, float]]:
+        """Exhaustive scoring straight off the Arrow block table — the
+        default driver leg. ONE segmented varbyte decode per column over
+        zero-copy views of the Arrow binary buffers (no per-block Python
+        bytes, no join copy — the round-3 q8 fetch cost), per-block idf
+        weights assigned with arrow-compute equality masks (no per-block
+        Python string ever materializes), then spread per-posting by one
+        ``np.repeat``. Hot-term queries (≥ ``_PARALLEL_BLOCKS`` blocks)
+        score SLICE-PARALLEL: the table splits into zero-copy row slices,
+        each thread decodes + scores its slice (numpy releases the GIL in
+        the ufunc loops), and the per-doc sums merge via per-thread
+        span-bincounts — allocation still O(matches + observed span).
+        Caller guarantees every fetched block's term is in ``qterms`` with
+        live df > 0 (search() drops dead terms before the fetch). Ranking
+        is identical to ``_vectorized_topk`` (exact BM25, same
+        tie-break)."""
+        import pyarrow.compute as pc
+
+        from ..index.codec import decode_block_batch_arrow
+
+        term_col = tbl.column("term")
+        w_block = np.zeros(tbl.num_rows, dtype=np.float64)
+        for t in qterms:
+            m = pc.equal(term_col, t).to_numpy(zero_copy_only=False)
+            w_block[m] = idf(self.n_docs, dfs[t])
+        deleted = self.deleted if self.deleted.size else None
+
+        def score_slice(sl, w_block_sl):
+            """(ids, contrib) of one row slice — runs GIL-light."""
+            ids, tfs, dls = decode_block_batch_arrow(sl, parallel=False)
+            counts = sl.column("n_docs").to_numpy().astype(np.int64)
+            w_post = np.repeat(w_block_sl, counts)
+            contrib = bm25_contrib(w_post, tfs, dls, self.avgdl)
+            if deleted is not None:
+                alive = _alive_mask(deleted, ids)
+                ids, contrib = ids[alive], contrib[alive]
+            return ids, contrib
+
+        single = len(qterms) == 1
+        if tbl.num_rows < _PARALLEL_BLOCKS:
+            ids, contrib = score_slice(tbl, w_block)
+            return self._topk_postsums(ids, contrib, single, k)
+        nrows = tbl.num_rows
+        T = _SCORE_THREADS
+        cuts = [i * nrows // T for i in range(T + 1)]
+        futs = [
+            _score_pool().submit(
+                score_slice,
+                tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                w_block[cuts[i] : cuts[i + 1]],
+            )
+            for i in range(T)
+        ]
+        parts = [f.result() for f in futs]
+        parts = [(i, c) for i, c in parts if i.size]
+        if not parts:
+            return []
+        if single:
+            # one posting per doc (salted sub-streams are doc-disjoint) —
+            # no cross-slice merge needed
+            ids = np.concatenate([p[0] for p in parts])
+            return self._topk_sorted(ids, np.concatenate([p[1] for p in parts]), k)
+        lo = min(int(p[0].min()) for p in parts)
+        hi = max(int(p[0].max()) for p in parts)
+        span = hi - lo + 1
+        total = sum(p[0].size for p in parts)
+        if span <= 4 * total:
+            # per-thread span-offset bincounts, summed — the merge is T-1
+            # adds over the observed span, never the global doc-id space
+            futs = [
+                _score_pool().submit(
+                    np.bincount, p[0] - lo, weights=p[1], minlength=span
+                )
+                for p in parts
+            ]
+            full = futs[0].result()
+            for f in futs[1:]:
+                full += f.result()
+            uniq = np.flatnonzero(full)
+            return self._topk_sorted(uniq + lo, full[uniq], k)
+        ids = np.concatenate([p[0] for p in parts])
+        contrib = np.concatenate([p[1] for p in parts])
+        uniq, scores = _group_sum(ids, contrib)
+        return self._topk_sorted(uniq, scores, k)
+
+    def _topk_postsums(
+        self, ids: np.ndarray, contrib: np.ndarray, single: bool, k: int
+    ) -> list[tuple[int, float]]:
+        """Per-doc sum (skipped for single-term) + top-k over ALREADY
+        tombstone-filtered postings."""
+        if ids.size == 0:
+            return []
+        if single:
+            uniq, scores = ids, contrib
+        else:
+            uniq, scores = _group_sum(ids, contrib)
+        return self._topk_sorted(uniq, scores, k)
+
+    def _topk_sorted(
+        self, uniq: np.ndarray, scores: np.ndarray, k: int
+    ) -> list[tuple[int, float]]:
+        """Exact top-k with the engine-wide tie-break (score desc, doc_id
+        asc); ``uniq`` need not be sorted but must be duplicate-free."""
+        if k < len(uniq):
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            cand = np.flatnonzero(scores >= kth)  # boundary ties included
+        else:
+            cand = np.arange(len(uniq))
+        order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]
+
     def _vectorized_topk(
         self, pdf, dfs: dict[str, int], k: int
     ) -> list[tuple[int, float]]:
@@ -507,35 +732,13 @@ class IndexSearcher:
             ids, tfs, dls = decode_block_batch(
                 g["doc_ids"], g["tfs"], g["dls"], g["n_docs"].to_numpy()
             )
-            tfs = tfs.astype(np.float64)
-            dls = dls.astype(np.float64)
             ids_all.append(ids)
-            contrib_all.append(
-                w * tfs / (tfs + K1 * (1.0 - B + B * dls / self.avgdl))
-            )
+            contrib_all.append(bm25_contrib(w, tfs, dls, self.avgdl))
         if not ids_all:
             return []
         ids = np.concatenate(ids_all)
         contrib = np.concatenate(contrib_all)
-        if self.deleted.size:
-            alive = _alive_mask(self.deleted, ids)
-            ids, contrib = ids[alive], contrib[alive]
-            if ids.size == 0:
-                return []
-        if len(ids_all) == 1:
-            # single term: one posting per doc, already doc-sorted — skip
-            # the merge pass entirely
-            uniq, scores = ids, contrib
-        else:
-            # per-doc sums sized by the match count (see _group_sum)
-            uniq, scores = _group_sum(ids, contrib)
-        if k < len(uniq):
-            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-            cand = np.flatnonzero(scores >= kth)  # boundary ties included
-        else:
-            cand = np.arange(len(uniq))
-        order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
-        return [(int(uniq[i]), float(scores[i])) for i in order]
+        return self._topk_from_postings(ids, contrib, len(ids_all) == 1, k)
 
     # -- distributed path --------------------------------------------------
     def search_distributed(self, query: str, k: int = 10) -> DataFrame:
@@ -563,8 +766,8 @@ class IndexSearcher:
                 outs_d, outs_s = [], []
                 for r in pdf.itertuples(index=False):
                     ids = decode_doc_ids(r.doc_ids)
-                    tfs = decode_tfs(r.tfs).astype(np.float64)
-                    dls = decode_tfs(r.dls).astype(np.float64)
+                    tfs = decode_tfs(r.tfs)
+                    dls = decode_tfs(r.dls)
                     if dead.size:
                         alive = _alive_mask(dead, ids)
                         ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
@@ -572,7 +775,7 @@ class IndexSearcher:
                         continue
                     w = weights[r.term]
                     outs_d.append(ids)
-                    outs_s.append(w * tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl)))
+                    outs_s.append(bm25_contrib(w, tfs, dls, avgdl))
                 if outs_d:
                     yield pd.DataFrame(
                         {

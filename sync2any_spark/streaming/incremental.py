@@ -364,6 +364,12 @@ def vacuum(index_dir: str) -> "list[str]":
             if v != keep_v:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
+        elif name == "postings" or name.startswith("postings_fm"):
+            # base-postings layouts superseded by a force-merge commit
+            # (meta['postings_dir'] names the ONE live base layout)
+            if name != meta.get("postings_dir", "postings"):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
         elif name in ("postings_segs", "docs_segs", "deletes_segs"):
             for seg in sorted(os.listdir(full)):
                 n = int(seg.replace("seg", ""))

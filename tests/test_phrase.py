@@ -229,3 +229,33 @@ def test_phrase_routing_auto_picks_distributed(spark, corpus, phrases, pos_index
         assert [a[0] for a in auto] == [d[0] for d in drv], phrase
         for (_, gs), (_, ws) in zip(auto, drv):
             assert gs == pytest.approx(ws, rel=1e-9), phrase
+
+
+def test_sharded_serving_phrase(corpus, phrases, pos_index_dir):
+    """ShardedSearcher.search_phrase (round-3 Missing #2): the two-round
+    occurrence exchange (candidate intersection from per-owner doc ids,
+    then candidate-bounded slot positions) must be rank- AND
+    score-identical to one unsharded node on phrases whose terms hash to
+    DIFFERENT shards."""
+    from sync2any_spark.index.bucketing import bucket_of
+    from sync2any_spark.query.serving import LocalSearcher, ShardedSearcher
+
+    whole = LocalSearcher(pos_index_dir, with_positions=True)
+    n_buckets = int(whole.meta["n_buckets"])
+    for n_shards in (2, 3):
+        sharded = ShardedSearcher.build(pos_index_dir, n_shards, with_positions=True)
+        crossed = 0
+        for phrase in phrases:
+            got = sharded.search_phrase(phrase, 10)
+            want = whole.search_phrase(phrase, 10)
+            assert [g[0] for g in got] == [w[0] for w in want], (n_shards, phrase)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-12), (n_shards, phrase)
+            from sync2any_spark.tokenize import tokenize
+
+            terms = list(dict.fromkeys(tokenize(phrase)))
+            shards_hit = {bucket_of(t, n_buckets) % n_shards for t in terms}
+            if len(shards_hit) > 1 and want:
+                crossed += 1
+        # the set must actually exercise the cross-shard path
+        assert crossed > 0, f"no phrase crossed shards at n_shards={n_shards}"

@@ -571,6 +571,12 @@ def test_jpeg_codec_and_mjpeg_avi(spark):
     with pytest.raises(NotImplementedError, match="0xC2"):
         decode_jpeg(bytes(bad))
 
+    # a truncated scan surfaces as the codec's ValueError contract, never a
+    # raw IndexError from inside the Huffman walk (round-3 ADVICE)
+    for cut in (len(jpegs[0]) - 3, len(jpegs[0]) // 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(jpegs[0][:cut])
+
     avi = encode_avi_mjpeg(jpegs, width=16, height=16, fps=5)
     meta = parse_avi(avi)
     assert meta["codec"] == "MJPG" and meta["n_frames"] == 3
