@@ -67,9 +67,29 @@ from .codec import encode_doc_ids, encode_tfs
 # of the bucket count (a term always lands in exactly one (bucket, sub))
 MERGE_SUBSPLIT = 8
 
+# a merge group whose heavy terms sum past this many postings fans out into
+# doc-disjoint salt tasks (≤ n_salts) — ~2M postings ≈ a comfortable
+# single-task decode+encode (sub-second); far below it, extra tasks just
+# multiply per-task file-open overhead
+SPLIT_POSTINGS = int(os.environ.get("SPARK_GRAFT_SPLIT_POSTINGS", 2_000_000))
+
 # chunk-file compression: intermediate SPIMI chunks are written once and read
 # twice (term stats + merge) — cheap-but-fast beats maximum ratio here
-CHUNK_COMPRESSION = os.environ.get("SPARK_GRAFT_CHUNK_COMPRESSION", "zstd")
+# chunk varbyte columns are already compressed (delta-gap + base-128) —
+# zstd over them costs SPIMI-write and merge-read CPU for ~25% size on a
+# TRANSIENT artifact; metadata columns stay zstd. Env var forces one codec
+# for everything (diagnostics).
+_CHUNK_CODEC_ENV = os.environ.get("SPARK_GRAFT_CHUNK_COMPRESSION")
+CHUNK_COMPRESSION = _CHUNK_CODEC_ENV or {
+    **{c: "NONE" for c in ("doc_ids", "tfs", "dls", "pos")},
+    **{
+        c: "ZSTD"
+        for c in (
+            "term", "part_id", "min_doc", "max_doc", "n_docs", "cf",
+            "bucket", "sub",
+        )
+    },
+}
 
 CHUNK_SCHEMA = T.StructType(
     [
@@ -454,37 +474,65 @@ def build_docs(transcripts: DataFrame) -> DataFrame:
 def _write_chunk(
     chunks_dir: str, prefix: str, part_id: int, rows: dict,
     n_rows_docs: int, n_terms: int, t0: float, sum_dl: int = 0,
-    wfs=None,
+    wfs=None, n_buckets: "int | None" = None, n_salts: int = 8,
 ) -> pd.DataFrame:
     """Write one SPIMI chunk parquet, then its manifest (data first,
     manifest LAST — the per-partition commit order the fswrite protocol
     relies on); returns the manifest row (shared by all tokenizer
-    kernels). ``wfs`` is the filesystem adapter (None = local POSIX)."""
+    kernels). ``wfs`` is the filesystem adapter (None = local POSIX).
+
+    With ``n_buckets`` set, every term row carries its (bucket, sub,
+    salt) merge key and the file is SORTED by (bucket, sub, salt, term)
+    with small row groups — the layout the ZERO-SHUFFLE merge needs: a
+    merge task later reads exactly its group's contiguous span from each
+    chunk file via parquet row-group stats, so the corpus never crosses a
+    Spark shuffle or the JVM→Python Arrow hop (round-3 What's-wrong #1:
+    the merge's shuffle+IPC scaled at ~0.63 and capped build scaling at
+    ~0.73). The salt (hash of the row's min_doc) is written for EVERY
+    row; the merge planner uses it only for heavy-term groups."""
     import pyarrow as pa
 
+    from .bucketing import bucket_sub_arrays
     from .fswrite import LOCAL
 
     wfs = wfs or LOCAL
     wfs.makedirs(chunks_dir)
     path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
-    table = pa.table(
-        rows,
-        schema=pa.schema(
+    fields = [
+        ("term", pa.string()),
+        ("part_id", pa.int32()),
+        ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()),
+        ("n_docs", pa.int32()),
+        ("cf", pa.int64()),
+        ("doc_ids", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("pos", pa.binary()),
+    ]
+    row_group_size = None
+    if n_buckets:
+        from .bucketing import salt_of_part
+
+        b, s = bucket_sub_arrays(
+            np.asarray(rows["term"], dtype=object), n_buckets, MERGE_SUBSPLIT
+        )
+        salt = np.full(len(b), salt_of_part(part_id, n_salts), dtype=np.int32)
+        rows = {**rows, "bucket": b, "sub": s, "salt": salt}
+        fields += [("bucket", pa.int32()), ("sub", pa.int32()), ("salt", pa.int32())]
+        n = len(b)
+        row_group_size = max(512, -(-n // 64))  # ≤ ~64 groups per file
+    table = pa.table(rows, schema=pa.schema(fields))
+    if n_buckets:
+        table = table.sort_by(
             [
-                ("term", pa.string()),
-                ("part_id", pa.int32()),
-                ("min_doc", pa.int64()),
-                ("max_doc", pa.int64()),
-                ("n_docs", pa.int32()),
-                ("cf", pa.int64()),
-                ("doc_ids", pa.binary()),
-                ("tfs", pa.binary()),
-                ("dls", pa.binary()),
-                ("pos", pa.binary()),
+                ("bucket", "ascending"), ("sub", "ascending"),
+                ("salt", "ascending"), ("term", "ascending"),
             ]
-        ),
+        )
+    wfs.write_table(
+        table, path, compression=CHUNK_COMPRESSION, row_group_size=row_group_size
     )
-    wfs.write_table(table, path, compression=CHUNK_COMPRESSION)
     manifest = {
         "partition_id": part_id,
         "status": "done",
@@ -494,9 +542,16 @@ def _write_chunk(
         "wall_ms": int((time.time() - t0) * 1000),
         "attempt": 1,
     }
+    ret = pd.DataFrame([manifest])  # MANIFEST_SCHEMA columns only
+    if n_buckets:
+        # layout keys ride in the json sidecar (the merge planner verifies
+        # them) but NOT in the applyInPandas return row
+        manifest["n_buckets"] = int(n_buckets)
+        manifest["n_subs"] = MERGE_SUBSPLIT
+        manifest["n_salts"] = int(n_salts)
     mpath = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.manifest.json")
     wfs.write_json(manifest, mpath)
-    return pd.DataFrame([manifest])
+    return ret
 
 
 _EMPTY_CHUNK_ROWS = {
@@ -586,7 +641,8 @@ def _spimi_encode(
 
 
 def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
-                          store_positions: bool = False, wfs=None):
+                          store_positions: bool = False, wfs=None,
+                          n_buckets: "int | None" = None, n_salts: int = 8):
     """applyInPandas kernel: tokenize, tf-count, and varbyte-encode entirely
     inside the Arrow batch — C-speed regex + factorize/unique, no per-token
     Python objects beyond one flat list.
@@ -617,13 +673,15 @@ def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
         )
         return _write_chunk(
             chunks_dir, prefix, part_id, rows, len(pdf), n_terms, t0,
-            sum_dl=int(dls.sum()), wfs=wfs,
+            sum_dl=int(dls.sum()), wfs=wfs, n_buckets=n_buckets,
+            n_salts=n_salts,
         )
 
     return build
 
 
-def _chunk_builder(chunks_dir: str, prefix: str = ""):
+def _chunk_builder(chunks_dir: str, prefix: str = "",
+                   n_buckets: "int | None" = None, n_salts: int = 8):
     """applyInPandas kernel: one SPIMI chunk per stable partition id.
 
     Writes its own parquet + manifest with tmp→rename so a killed job leaves
@@ -681,42 +739,10 @@ def _chunk_builder(chunks_dir: str, prefix: str = ""):
             rows["dls"].append(encode_tfs(np.asarray(ds_dl, dtype=np.int64)))
             rows["pos"].append(b"")
 
-        os.makedirs(chunks_dir, exist_ok=True)
-        path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
-        tmp = path + f".tmp-{os.getpid()}"
-        table = pa.table(
-            rows,
-            schema=pa.schema(
-                [
-                    ("term", pa.string()),
-                    ("part_id", pa.int32()),
-                    ("min_doc", pa.int64()),
-                    ("max_doc", pa.int64()),
-                    ("n_docs", pa.int32()),
-                    ("cf", pa.int64()),
-                    ("doc_ids", pa.binary()),
-                    ("tfs", pa.binary()),
-                    ("dls", pa.binary()),
-                ]
-            ),
+        return _write_chunk(
+            chunks_dir, prefix, part_id, rows, len(pdf), len(terms), t0,
+            sum_dl=int(dls.sum()), n_buckets=n_buckets, n_salts=n_salts,
         )
-        pq.write_table(table, tmp, compression=CHUNK_COMPRESSION)
-        os.replace(tmp, path)
-        manifest = {
-            "partition_id": part_id,
-            "status": "done",
-            "rows": int(len(pdf)),
-            "n_terms": int(len(terms)),
-            "sum_dl": int(dls.sum()),
-            "wall_ms": int((time.time() - t0) * 1000),
-            "attempt": 1,
-        }
-        mpath = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.manifest.json")
-        mtmp = mpath + f".tmp-{os.getpid()}"
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, mpath)
-        return pd.DataFrame([manifest])
 
     return build
 
@@ -738,7 +764,8 @@ def completed_partitions(
     return done
 
 
-def _chunk_builder_tf(chunks_dir: str, prefix: str = ""):
+def _chunk_builder_tf(chunks_dir: str, prefix: str = "",
+                      n_buckets: "int | None" = None, n_salts: int = 8):
     """applyInPandas kernel over pre-counted (doc_id, dl, term, tf) rows.
 
     Tokenization and tf-counting happened JVM-side (whole-stage codegen);
@@ -791,44 +818,11 @@ def _chunk_builder_tf(chunks_dir: str, prefix: str = ""):
             "pos": [b""] * len(starts),
         }
 
-        os.makedirs(chunks_dir, exist_ok=True)
-        path = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.parquet")
-        tmp = path + f".tmp-{os.getpid()}"
-        table = pa.table(
-            rows,
-            schema=pa.schema(
-                [
-                    ("term", pa.string()),
-                    ("part_id", pa.int32()),
-                    ("min_doc", pa.int64()),
-                    ("max_doc", pa.int64()),
-                    ("n_docs", pa.int32()),
-                    ("cf", pa.int64()),
-                    ("doc_ids", pa.binary()),
-                    ("tfs", pa.binary()),
-                    ("dls", pa.binary()),
-                ]
-            ),
+        sum_dl = int(pdf[["doc_id", "dl"]].drop_duplicates("doc_id")["dl"].sum())
+        return _write_chunk(
+            chunks_dir, prefix, part_id, rows, n_rows_docs, len(starts), t0,
+            sum_dl=sum_dl, n_buckets=n_buckets, n_salts=n_salts,
         )
-        pq.write_table(table, tmp, compression=CHUNK_COMPRESSION)
-        os.replace(tmp, path)
-        manifest = {
-            "partition_id": part_id,
-            "status": "done",
-            "rows": n_rows_docs,
-            "n_terms": int(len(starts)),
-            "sum_dl": int(
-                pdf[["doc_id", "dl"]].drop_duplicates("doc_id")["dl"].sum()
-            ),
-            "wall_ms": int((time.time() - t0) * 1000),
-            "attempt": 1,
-        }
-        mpath = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.manifest.json")
-        mtmp = mpath + f".tmp-{os.getpid()}"
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, mpath)
-        return pd.DataFrame([manifest])
 
     return build
 
@@ -841,6 +835,8 @@ def build_chunks(
     prefix: str = "",
     tokenizer: str = "jvm",
     store_positions: bool = False,
+    n_buckets: "int | None" = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """SPIMI pass. Returns the manifest DataFrame (one row per partition built).
 
@@ -879,10 +875,13 @@ def build_chunks(
             src = src.where(~F.col("part_id").isin([int(x) for x in done]))
         if tokenizer == "pandas":
             kern = _chunk_builder_pandas(
-                chunks_dir, prefix, store_positions=store_positions
+                chunks_dir, prefix, store_positions=store_positions,
+                n_buckets=n_buckets, n_salts=n_salts,
             )
         else:
-            kern = _chunk_builder(chunks_dir, prefix)
+            kern = _chunk_builder(
+                chunks_dir, prefix, n_buckets=n_buckets, n_salts=n_salts
+            )
         return src.groupBy("part_id").applyInPandas(
             kern, schema=MANIFEST_SCHEMA
         )
@@ -901,7 +900,9 @@ def build_chunks(
         F.count("*").cast("long").alias("tf")
     )
     return tf.groupBy("part_id").applyInPandas(
-        _chunk_builder_tf(chunks_dir, prefix), schema=MANIFEST_SCHEMA
+        _chunk_builder_tf(chunks_dir, prefix, n_buckets=n_buckets,
+                          n_salts=n_salts),
+        schema=MANIFEST_SCHEMA,
     )
 
 
@@ -925,6 +926,8 @@ def build_chunks_files(
     prefix: str = "",
     store_positions: bool = False,
     filesystem=None,
+    n_buckets: "int | None" = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """SPIMI pass, shuffle-free: one task per docs-store file.
 
@@ -950,7 +953,8 @@ def build_chunks_files(
     if not todo:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     inner = _chunk_builder_pandas(
-        chunks_dir, prefix, store_positions=store_positions, wfs=filesystem
+        chunks_dir, prefix, store_positions=store_positions, wfs=filesystem,
+        n_buckets=n_buckets, n_salts=n_salts,
     )
 
     def kern(batches):
@@ -972,7 +976,7 @@ def build_chunks_files(
                     yield _write_chunk(
                         chunks_dir, prefix, int(r.part_id),
                         dict(_EMPTY_CHUNK_ROWS), 0, 0, time.time(),
-                        wfs=filesystem,
+                        wfs=filesystem, n_buckets=n_buckets, n_salts=n_salts,
                     )
                     continue
                 sub["part_id"] = r.part_id
@@ -1065,6 +1069,8 @@ def build_segments(
     span_mb: int = 8,
     store_positions: bool = False,
     filesystem=None,
+    n_buckets: "int | None" = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Fused segment build — ONE corpus pass writes docs store + SPIMI chunk.
 
@@ -1167,7 +1173,8 @@ def build_segments(
                 # trusted once this manifest lands (fswrite commit order)
                 yield _write_chunk(
                     chunks_dir, "", part_id, rows, len(doc_ids), n_terms,
-                    t0, sum_dl=int(dls.sum()), wfs=wfs,
+                    t0, sum_dl=int(dls.sum()), wfs=wfs, n_buckets=n_buckets,
+                    n_salts=n_salts,
                 )
 
     rdd = spark.sparkContext.parallelize(todo, len(todo))
@@ -1185,7 +1192,12 @@ def _read_chunks(spark: SparkSession, chunks_dir: str, glob: str) -> DataFrame:
 
     if not globmod.glob(os.path.join(chunks_dir, glob)):
         return spark.createDataFrame([], CHUNK_SCHEMA)
-    return spark.read.parquet(os.path.join(chunks_dir, glob))
+    # mergeSchema: a resumed dir may mix layout generations (chunks with
+    # and without the bucket/sub/salt columns) — the shuffle merge
+    # recomputes its own keys, so the union schema is always safe
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(chunks_dir, glob)
+    )
 
 
 def build_term_stats(
@@ -1316,15 +1328,62 @@ def _merge_group(
     store_positions: bool = False,
 ) -> dict:
     """Merge one (bucket, sub, salt) group's chunk rows into doc-ordered
-    128-posting blocks with exact block-max bounds — the compaction-merge
-    core. Fully vectorized across the whole group: chunks are decoded with
+    128-posting blocks — pandas spelling (the shuffle/delta path). Sorts
+    the frame, then hands column bytes to ``_blocks_from_sorted``."""
+    if len(pdf) == 0:
+        return dict(_EMPTY_BLOCK_ROWS)
+    pdf = pdf.sort_values(["term", "min_doc"], kind="stable")
+    return _blocks_from_sorted(
+        pdf["term"].to_numpy(),
+        pdf["n_docs"].to_numpy(dtype=np.int64),
+        b"".join(pdf["doc_ids"]),
+        b"".join(pdf["tfs"]),
+        b"".join(pdf["dls"]),
+        b"".join(pdf["pos"]) if store_positions else None,
+        avgdl, bucket, salt, store_positions,
+    )
+
+
+def _merge_group_arrow(
+    tbl, avgdl: float, bucket: int, salt: int,
+    store_positions: bool = False,
+) -> dict:
+    """Arrow spelling of ``_merge_group`` — the zero-shuffle merge path:
+    the task read its group's chunk rows itself (pyarrow, row-group
+    pruned), so the column bytes go straight from the Arrow buffers into
+    the batched varbyte decode with no per-row Python bytes objects (the
+    Arrow→pandas materialization was ~40% of the old merge stage)."""
+    from .codec import arrow_binary_bytes
+
+    if tbl.num_rows == 0:
+        return dict(_EMPTY_BLOCK_ROWS)
+    tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
+    return _blocks_from_sorted(
+        np.asarray(tbl.column("term").to_pylist(), dtype=object),
+        tbl.column("n_docs").to_numpy().astype(np.int64),
+        arrow_binary_bytes(tbl.column("doc_ids")),
+        arrow_binary_bytes(tbl.column("tfs")),
+        arrow_binary_bytes(tbl.column("dls")),
+        arrow_binary_bytes(tbl.column("pos")) if store_positions else None,
+        avgdl, bucket, salt, store_positions,
+    )
+
+
+def _blocks_from_sorted(
+    terms: np.ndarray, n_per_chunk: np.ndarray,
+    doc_buf, tf_buf, dl_buf, pos_buf,
+    avgdl: float, bucket: int, salt: int, store_positions: bool,
+) -> dict:
+    """The compaction-merge core over (term, min_doc)-sorted chunk rows.
+    Fully vectorized across the whole group: chunks are decoded with
     ONE varbyte pass (segmented cumsum restores absolute doc ids), per-term
     doc order comes from one lexsort, and every block of every term is
     encoded with ONE segmented varbyte pass per column. With
     ``store_positions`` the per-posting occurrence positions ride along:
     decoded flat, permuted by the same posting order via a vectorized
     gather, re-encoded per block (the Lucene .pos analog — kept in its own
-    parquet column so every non-phrase query prunes it away for free)."""
+    parquet column so every non-phrase query prunes it away for free).
+    Buffers may be ``bytes`` or uint8 views (``vb_decode`` takes both)."""
 
     from .codec import (
         encode_doc_id_segments,
@@ -1333,26 +1392,22 @@ def _merge_group(
         vb_encode_segments,
     )
 
-    if len(pdf) == 0:
-        return dict(_EMPTY_BLOCK_ROWS)
-    pdf = pdf.sort_values(["term", "min_doc"], kind="stable")
-    n_per_chunk = pdf["n_docs"].to_numpy(dtype=np.int64)
-    chunk_bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
+    n_rows = len(terms)
+    chunk_bounds = np.zeros(n_rows + 1, dtype=np.int64)
     chunk_bounds[1:] = np.cumsum(n_per_chunk)
     n = int(chunk_bounds[-1])
 
     # batched decode: gaps of all chunks in one pass, then segmented
     # cumsum (each chunk's first gap is its absolute doc id)
-    gaps = vb_decode(b"".join(pdf["doc_ids"]))
+    gaps = vb_decode(doc_buf)
     total = np.cumsum(gaps)
-    corrections = np.zeros(len(pdf), dtype=np.int64)
+    corrections = np.zeros(n_rows, dtype=np.int64)
     corrections[1:] = total[chunk_bounds[1:-1] - 1]
     ids = total - np.repeat(corrections, n_per_chunk)
-    tfs = vb_decode(b"".join(pdf["tfs"]))
-    dls = vb_decode(b"".join(pdf["dls"]))
+    tfs = vb_decode(tf_buf)
+    dls = vb_decode(dl_buf)
 
     # per-term doc order (chunk doc-ranges interleave across partitions)
-    terms = pdf["term"].to_numpy()
     tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
     term_gid = np.repeat(np.cumsum(tchange) - 1, n_per_chunk)
     order = np.lexsort((ids, term_gid))
@@ -1360,7 +1415,7 @@ def _merge_group(
     if store_positions:
         # positions, flat and aligned with the PRE-permutation postings:
         # decode gaps, restore absolutes with per-posting cumsum resets
-        pgaps = vb_decode(b"".join(pdf["pos"]))
+        pgaps = vb_decode(pos_buf)
         ptotal = np.cumsum(pgaps)
         pb = np.cumsum(tfs)  # posting ends in flat position space
         pcorr = np.zeros(n, dtype=np.int64)
@@ -1383,7 +1438,7 @@ def _merge_group(
 
     # value-index bounds per term, then per-128 block bounds per term
     term_first_chunk = np.flatnonzero(tchange)
-    term_bounds = chunk_bounds[np.append(term_first_chunk, len(pdf))]
+    term_bounds = chunk_bounds[np.append(term_first_chunk, n_rows)]
     term_names = terms[term_first_chunk]
     starts_list = [
         np.arange(term_bounds[i], term_bounds[i + 1], BLOCK_SIZE)
@@ -1516,7 +1571,116 @@ def _salted_chunks(
     )
 
 
-def build_postings_direct(
+
+# Worker-global chunk-reader cache for the zero-shuffle merge: every merge
+# task reads from (almost) every chunk file, so parsing each file's footer
+# per task is the dominant fixed cost (measured ~2 ms x 118 files x 257
+# tasks). Python workers are reused across tasks, so the parsed
+# ParquetFile handles + per-row-group (bucket, sub, salt) stats live for
+# the whole stage and each task prunes row groups with one numpy compare.
+# Bounded: distinct file lists are rare (one per build); the cache clears
+# itself past 4 entries. At 10^5+ chunk files per segment the cache should
+# hold parsed metadata rather than open handles - the merge then runs per
+# segment group, which bounds the list (SCALE.md).
+_MERGE_READER_CACHE: dict = {}
+
+
+def _chunk_readers(files: "list[str]", fs=None):
+    import pyarrow.parquet as pq
+
+    key = (files[0], files[-1], len(files), id(fs) if fs is not None else 0)
+    got = _MERGE_READER_CACHE.get(key)
+    if got is not None:
+        return got
+    out = []
+    for f in files:
+        pf = pq.ParquetFile(fs.open_input_file(f) if fs is not None else f)
+        md = pf.metadata
+        nb = md.num_row_groups
+        stats = np.empty((nb, 6), dtype=np.int64)
+        if nb:
+            idx = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.num_columns)
+            }
+            for i in range(nb):
+                rg = md.row_group(i)
+                for c, col in enumerate(("bucket", "sub", "salt")):
+                    st = rg.column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        # stats absent (e.g. an empty-partition chunk):
+                        # unbounded range → never pruned, the row mask
+                        # stays exact
+                        stats[i, 2 * c] = -(1 << 62)
+                        stats[i, 2 * c + 1] = 1 << 62
+                    else:
+                        stats[i, 2 * c] = int(st.min)
+                        stats[i, 2 * c + 1] = int(st.max)
+        out.append((pf, stats))
+    if len(_MERGE_READER_CACHE) >= 4:
+        _MERGE_READER_CACHE.clear()
+    _MERGE_READER_CACHE[key] = out
+    return out
+
+
+def _read_merge_group(
+    readers, cols: "list[str]", b: int,
+    sub_lo: int = 0, sub_hi: "int | None" = None,
+    own_salts: "list[int] | None" = None,
+    heavy: "list[str] | None" = None,
+    heavy_only: bool = False,
+):
+    """One merge task's chunk rows: row groups pruned via the cached
+    (bucket, sub[, salt]) stats, then an exact row-level mask.
+    ``[sub_lo, sub_hi]`` is an inclusive CONTIGUOUS sub range (the chunk
+    sort makes it one span per file — coarse ranges keep per-file
+    row-group read amplification low and the kernel slices single subs in
+    memory). Returns an Arrow table with ``cols`` (+ ``sub`` when the
+    range spans more than one sub)."""
+    import pyarrow as pa
+
+    if sub_hi is None:
+        sub_hi = MERGE_SUBSPLIT - 1
+    out_cols = cols + ["sub"] if sub_hi > sub_lo else cols
+    read_cols = list(dict.fromkeys(cols + ["bucket", "sub", "salt"]))
+    parts = []
+    for pf, stats in readers:
+        if stats.shape[0] == 0:
+            continue
+        keep = (stats[:, 0] <= b) & (stats[:, 1] >= b)
+        keep &= (stats[:, 2] <= sub_hi) & (stats[:, 3] >= sub_lo)
+        if heavy_only and own_salts is not None:
+            sel = np.zeros(stats.shape[0], dtype=bool)
+            for c in own_salts:
+                sel |= (stats[:, 4] <= c) & (stats[:, 5] >= c)
+            keep &= sel
+        rgs = np.flatnonzero(keep)
+        if rgs.size == 0:
+            continue
+        parts.append(
+            pf.read_row_groups(list(rgs), columns=read_cols, use_threads=False)
+        )
+    if not parts:
+        return pa.table({c: [] for c in out_cols})
+    tbl = pa.concat_tables(parts, promote_options="permissive")
+    bk = tbl.column("bucket").to_numpy()
+    sb = tbl.column("sub").to_numpy()
+    mask = (bk == b) & (sb >= sub_lo) & (sb <= sub_hi)
+    if heavy is not None and own_salts is not None:
+        sl = tbl.column("salt").to_numpy()
+        in_salt = np.isin(sl, own_salts)
+        t_in = np.isin(
+            np.asarray(tbl.column("term").to_pylist(), dtype=object),
+            np.asarray(heavy, dtype=object),
+        )
+        if heavy_only:
+            mask &= t_in & in_salt
+        else:
+            mask &= ~t_in | in_salt
+    return tbl.filter(mask).select(out_cols)
+
+
+def _build_postings_direct_shuffle(
     spark: SparkSession,
     chunks_dir: str,
     terms: DataFrame,
@@ -1529,13 +1693,10 @@ def build_postings_direct(
     store_positions: bool = False,
     filesystem=None,
 ) -> int:
-    """Salted compaction merge with DIRECT task-side block writes (snapshot
-    build path): each merge task writes its group's block file into the
-    hive layout itself and returns a manifest row. Returns total blocks."""
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    """Legacy salted compaction merge THROUGH a shuffle (kept as the
+    fallback for chunk files without the (bucket, sub) sorted layout):
+    each merge task writes its group's block file into the hive layout
+    itself and returns a manifest row. Returns total blocks."""
     salted = _salted_chunks(
         spark, chunks_dir, terms, n_buckets, n_salts, heavy_df_threshold, glob
     )
@@ -1543,6 +1704,236 @@ def build_postings_direct(
         _postings_writer(
             avgdl, out_dir, store_positions=store_positions, wfs=filesystem
         ),
+        schema="bucket int, sub int, salt int, n_blocks long, wall_ms long",
+    )
+    agg = manifest.agg(F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("nb")).first()
+    return int(agg.nb)
+
+
+def build_postings_direct(
+    spark: SparkSession,
+    chunks_dir: str,
+    terms: DataFrame,
+    avgdl: float,
+    n_buckets: int,
+    out_dir: str,
+    n_salts: int = 8,
+    heavy_df_threshold: int = 10_000,
+    glob: str = "part-*.parquet",
+    store_positions: bool = False,
+    filesystem=None,
+    split_postings: "int | None" = None,
+) -> int:
+    """ZERO-SHUFFLE salted compaction merge (snapshot build path).
+
+    The corpus-wide shuffle was the build's last scaling bottleneck
+    (round-3 What's-wrong #1: the postings stage scaled at 0.69 N→4N, and
+    the no-op decomposition showed the shuffle + JVM→Python Arrow hop —
+    not the merge kernels — was the 0.63-scaling component). The chunk
+    files are now SORTED by (bucket, sub, term) with small row groups
+    (``_write_chunk``), so each merge task READS ITS OWN GROUP directly:
+    a pyarrow scan with a (bucket, sub[, term, min_doc]) filter prunes to
+    the group's contiguous row-group span in every chunk file — the bytes
+    go disk → Arrow → numpy decode with no shuffle, no IPC hop, no
+    per-row Python objects. On a cluster this is the classic
+    "executors read their assigned key range from the shared store"
+    pattern (the docs/SPIMI stages already work this way).
+
+    Skew control keeps the salted semantics: every chunk carries a salt
+    (round-robin over its partition id — ``bucketing.salt_of_part``), and
+    a (bucket, sub) group that contains HEAVY terms (df >
+    ``heavy_df_threshold``) fans out into ``n_salts`` tasks, each reading
+    the heavy terms' rows only from ITS salt's chunk files (the salt is
+    constant per file, so pruning skips whole files); light terms stay
+    whole in the salt-0 task. A heavy term appears once per partition, so
+    its rows split across salts evenly BY CONSTRUCTION, and each doc is
+    in exactly one sub-stream — query-time BM25 sums are unaffected.
+
+    Chunk files WITHOUT the sorted layout (older indexes, resumed builds)
+    fall back to the legacy shuffle merge. Returns total blocks."""
+    import fnmatch
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from .bucketing import bucket_of, sub_of
+    from .fswrite import LOCAL
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    wfs = filesystem or LOCAL
+    names = sorted(nm for nm in wfs.listdir(chunks_dir) if fnmatch.fnmatch(nm, glob))
+    files = [os.path.join(chunks_dir, nm) for nm in names]
+    if not files:
+        return 0
+    prefix = glob.split("part-")[0]
+    mans = read_manifests(chunks_dir, prefix, wfs=wfs)
+    layout_ok = (
+        "salt" in pads.dataset(files[:1], filesystem=wfs.fs).schema.names
+        and mans
+        and all(
+            m.get("n_buckets") == n_buckets
+            and m.get("n_subs") == MERGE_SUBSPLIT
+            and m.get("n_salts") == n_salts
+            for m in mans
+        )
+    )
+    if not layout_ok:
+        return _build_postings_direct_shuffle(
+            spark, chunks_dir, terms, avgdl, n_buckets, out_dir,
+            n_salts=n_salts, heavy_df_threshold=heavy_df_threshold,
+            glob=glob, store_positions=store_positions, filesystem=filesystem,
+        )
+
+    # split plan: a (bucket, sub) group fans out only when its heavy
+    # terms' summed df warrants it — k = ceil(Σdf / SPLIT_POSTINGS) tasks
+    # (≤ n_salts), each owning the salt classes {s : s % k == i}. The salt
+    # is constant per chunk FILE (part_id % n_salts), so a split task
+    # opens ONLY its salts' files — no read amplification, and ~256 + a
+    # few tasks total instead of 256 × n_salts.
+    heavy_rows = (
+        terms.where(F.col("df") > F.lit(heavy_df_threshold))
+        .select("term", "df").limit(100_000).collect()
+    )
+    heavy_by_group: "dict[tuple[int, int], list[str]]" = {}
+    heavy_df_sum: "dict[tuple[int, int], int]" = {}
+    for r in heavy_rows:
+        key = (bucket_of(r.term, n_buckets), sub_of(r.term, MERGE_SUBSPLIT))
+        heavy_by_group.setdefault(key, []).append(r.term)
+        heavy_df_sum[key] = heavy_df_sum.get(key, 0) + int(r.df)
+
+    tasks = []
+    split_at = split_postings or SPLIT_POSTINGS
+    split_k: "dict[tuple[int, int], int]" = {}
+    for (b, s), tot in heavy_df_sum.items():
+        k = min(n_salts, max(1, -(-tot // split_at)))
+        if k > 1:
+            split_k[(b, s)] = k
+    # coarse tasks own CONTIGUOUS sub ranges (low per-file read
+    # amplification; subs sliced in-kernel), sized so the task count is
+    # ~2× the cluster parallelism — enough slots to balance without
+    # multiplying fixed per-task scan cost; dedicated salt tasks own each
+    # SPLIT (b, s) group
+    par = spark.sparkContext.defaultParallelism
+    ranges_per_bucket = min(
+        MERGE_SUBSPLIT, max(1, -(-2 * par // n_buckets))
+    )
+    step = -(-MERGE_SUBSPLIT // ranges_per_bucket)
+    for b in range(n_buckets):
+        for lo in range(0, MERGE_SUBSPLIT, step):
+            hi = min(lo + step - 1, MERGE_SUBSPLIT - 1)
+            tasks.append((b, -1 - lo, hi, 1))  # sub-range task marker
+        for s in range(MERGE_SUBSPLIT):
+            k = split_k.get((b, s))
+            if k:
+                for i in range(k):
+                    tasks.append((b, s, i, k))
+
+    cols = ["term", "min_doc", "max_doc", "n_docs", "doc_ids", "tfs", "dls"]
+    if store_positions:
+        cols.append("pos")
+    _fs = wfs.fs
+    # part_id (→ salt class) straight off the file name: {prefix}part-NNNNN
+    import re
+
+    _pat = re.compile(r"part-(\d+)\.parquet$")
+    file_salts = [
+        int(_pat.search(f).group(1)) % n_salts for f in files
+    ]
+
+    def _write_block_file(out, b, s, salt):
+        import pyarrow as pa
+
+        n_blocks = len(out["term"])
+        if n_blocks:
+            out_cols = {kk: v for kk, v in out.items() if kk != "bucket"}
+            d = os.path.join(out_dir, f"bucket={b}")
+            wfs.makedirs(d)
+            wfs.write_table(
+                pa.table(out_cols),
+                os.path.join(d, f"part-{s:03d}-{salt:03d}.parquet"),
+                compression=POSTINGS_COMPRESSION,
+            )
+        return n_blocks
+
+    def merge_tasks(batches):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        for pdf_t in batches:
+            for row in pdf_t.itertuples(index=False):
+                t0 = time.time()
+                b, s, salt, k = (
+                    int(row.bucket), int(row.sub), int(row.salt), int(row.k)
+                )
+                readers = _chunk_readers(files, fs=_fs)
+                if s < 0:
+                    # sub-range task: one span read, subs sliced in
+                    # memory; split (b, sub) groups are owned by their
+                    # salt tasks. Encoding: s = -1 - sub_lo, salt = sub_hi.
+                    sub_lo, sub_hi = -1 - s, salt
+                    btbl = _read_merge_group(
+                        readers, cols, b, sub_lo=sub_lo, sub_hi=sub_hi
+                    )
+                    sub_arr = (
+                        btbl.column("sub").to_numpy()
+                        if sub_hi > sub_lo
+                        else np.full(btbl.num_rows, sub_lo, dtype=np.int32)
+                    )
+                    for sub in range(sub_lo, sub_hi + 1):
+                        if (b, sub) in split_k:
+                            continue
+                        stbl = btbl.filter(sub_arr == sub)
+                        if "sub" in stbl.column_names:
+                            stbl = stbl.select(cols)
+                        out = _merge_group_arrow(
+                            stbl, avgdl, b, 0, store_positions
+                        )
+                        nb = _write_block_file(out, b, sub, 0)
+                        yield pd.DataFrame(
+                            [{
+                                "bucket": b, "sub": sub, "salt": 0,
+                                "n_blocks": nb,
+                                "wall_ms": int((time.time() - t0) * 1000),
+                            }]
+                        )
+                    continue
+                hv = heavy_by_group[(b, s)]
+                own = [c for c in range(n_salts) if c % k == salt]
+                if salt == 0:
+                    # all light rows + heavy rows of the owned salts
+                    tbl = _read_merge_group(
+                        readers, cols, b, sub_lo=s, sub_hi=s,
+                        own_salts=own, heavy=hv,
+                    )
+                else:
+                    # heavy-only task: only the owned salts' files
+                    sub_readers = [
+                        r for r, fs_ in zip(readers, file_salts)
+                        if fs_ in own
+                    ]
+                    tbl = _read_merge_group(
+                        sub_readers, cols, b, sub_lo=s, sub_hi=s,
+                        own_salts=own, heavy=hv, heavy_only=True,
+                    )
+                out = _merge_group_arrow(tbl, avgdl, b, salt, store_positions)
+                nb = _write_block_file(out, b, s, salt)
+                yield pd.DataFrame(
+                    [{
+                        "bucket": b, "sub": s, "salt": salt,
+                        "n_blocks": nb,
+                        "wall_ms": int((time.time() - t0) * 1000),
+                    }]
+                )
+
+    # one Spark partition per task via parallelize — deliberately NOT a
+    # groupBy shuffle: AQE would coalesce the tiny task table into ONE
+    # partition and serialize every merge group (measured 240 s vs 4 s)
+    rdd = spark.sparkContext.parallelize(tasks, len(tasks))
+    task_df = spark.createDataFrame(rdd, "bucket int, sub int, salt int, k int")
+    manifest = task_df.mapInPandas(
+        merge_tasks,
         schema="bucket int, sub int, salt int, n_blocks long, wall_ms long",
     )
     agg = manifest.agg(F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("nb")).first()
@@ -1672,6 +2063,7 @@ def build_index(
     span_mb: int = 8,
     store_positions: bool = False,
     filesystem=None,
+    split_postings: "int | None" = None,
 ) -> dict:
     """Full snapshot build (reference entry point 1, SURVEY.md §3.1).
 
@@ -1728,6 +2120,7 @@ def build_index(
                     spark, source_path, index_dir, offsets,
                     resume=resume, span_mb=span_mb,
                     store_positions=store_positions, filesystem=filesystem,
+                    n_buckets=n_buckets, n_salts=n_salts,
                 )
                 built = manifest.count()  # action: the fused corpus pass
                 metrics.append(("spimi", "wall_s", time.time() - t2))
@@ -1789,11 +2182,13 @@ def build_index(
                 manifest = build_chunks_files(
                     spark, paths.docs, paths.chunks, resume=resume,
                     store_positions=store_positions, filesystem=filesystem,
+                    n_buckets=n_buckets, n_salts=n_salts,
                 )
             else:
                 manifest = build_chunks(
                     docs, paths.chunks, n_partitions, resume=resume,
                     tokenizer=tokenizer, store_positions=store_positions,
+                    n_buckets=n_buckets, n_salts=n_salts,
                 )
             built = manifest.count()  # action: runs the SPIMI pass
             metrics.append(("spimi", "wall_s", time.time() - t2))
@@ -1819,10 +2214,10 @@ def build_index(
         metrics.append(("terms", "wall_s", time.time() - t3))
 
         t4 = time.time()
-        # each merge task holds whole (bucket, sub, salt) groups and writes
-        # its own block file straight into the hive layout — the block
-        # table never crosses the Python→JVM Arrow boundary and there is no
-        # serial write-job commit
+        # zero-shuffle merge: each task READS its (bucket, sub, salt)
+        # group's row-group-pruned span from the sorted chunk files and
+        # writes its block file straight into the hive layout — no corpus
+        # shuffle, no JVM→Python Arrow hop, no serial write-job commit
         n_blocks = build_postings_direct(
             spark,
             paths.chunks,
@@ -1834,6 +2229,7 @@ def build_index(
             heavy_df_threshold=heavy_df_threshold,
             store_positions=store_positions,
             filesystem=filesystem,
+            split_postings=split_postings,
         )
         metrics.append(("postings", "wall_s", time.time() - t4))
         metrics.append(("postings", "n_blocks", float(n_blocks)))

@@ -292,6 +292,7 @@ def apply_increments(
     manifest = build_chunks(
         new_docs, paths.chunks, meta["n_partitions"], resume=True, prefix=prefix,
         tokenizer="pandas", store_positions=store_pos,
+        n_buckets=int(meta["n_buckets"]),
     )
     manifest.count()
     delta_glob = f"{prefix}part-*.parquet"

@@ -17,7 +17,10 @@ from sync2any_spark.query.wand import IndexSearcher
 
 HEAVY_DF = 500  # low threshold so the 'ok' term (df ≈ 890) exercises salting
 N_SALTS = 4
-PARAMS = dict(n_partitions=12, n_buckets=8, n_salts=N_SALTS, heavy_df_threshold=HEAVY_DF)
+# split_postings low so the heavy groups fan out at this tiny fixture scale
+# (the production default only splits multi-million-posting groups)
+PARAMS = dict(n_partitions=12, n_buckets=8, n_salts=N_SALTS,
+              heavy_df_threshold=HEAVY_DF, split_postings=250)
 
 
 @pytest.fixture(scope="module")
@@ -31,6 +34,7 @@ def index_dir(spark, transcripts_sf0001, tmp_path_factory):
         n_buckets=8,
         n_salts=N_SALTS,
         heavy_df_threshold=HEAVY_DF,
+        split_postings=250,
     )
     assert summary["n_docs"] == transcripts_sf0001.count()
     return d
@@ -440,3 +444,61 @@ def test_bucket_restricted_term_dictionary(spark, index_dir):
     # exactly like a sharded deployment where another node owns it
     other = next(iter(set(full._df_map.index) - want))
     assert shard.search(other, 5) == []
+
+
+def test_zero_shuffle_merge_equals_shuffle_merge(
+    spark, transcripts_sf0001, tmp_path_factory
+):
+    """The round-4 ZERO-SHUFFLE merge (sorted chunks + direct per-task
+    pyarrow reads) is the SAME logical operator as the legacy shuffle
+    merge: building the postings both ways over identical chunks must give
+    rank- and score-identical results for the full query set, with heavy
+    terms salted (balanced sub-streams) and light terms unsalted."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from sync2any_spark.index.builder import (
+        IndexPaths,
+        _build_postings_direct_shuffle,
+        build_index,
+        build_term_stats_driver,
+    )
+
+    d = str(tmp_path_factory.mktemp("idx_zsm"))
+    build_index(spark, transcripts_sf0001, d, store_positions=True, **PARAMS)
+    paths = IndexPaths(d)
+    st = pads.dataset(paths.stats).to_table().to_pandas().iloc[0]
+    terms_pdf = build_term_stats_driver(paths.chunks, PARAMS["n_buckets"])
+    heavy = terms_pdf[terms_pdf["df"] > PARAMS["heavy_df_threshold"]]
+    terms = spark.createDataFrame(
+        heavy, schema="term string, df long, cf long, bucket int"
+    )
+    shuf = str(tmp_path_factory.mktemp("idx_zsm_shufpost"))
+    _build_postings_direct_shuffle(
+        spark, paths.chunks, terms, float(st.avgdl), PARAMS["n_buckets"], shuf,
+        n_salts=PARAMS["n_salts"],
+        heavy_df_threshold=PARAMS["heavy_df_threshold"],
+        store_positions=True,
+    )
+    d2 = str(tmp_path_factory.mktemp("idx_zsm_b"))
+    shutil.rmtree(d2)
+    shutil.copytree(d, d2)
+    shutil.rmtree(f"{d2}/postings")
+    shutil.copytree(shuf, f"{d2}/postings")
+
+    a = IndexSearcher(spark, d)
+    b = IndexSearcher(spark, d2)
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    for q in queries.itertuples(index=False):
+        ra = a.search(q.query_text, int(q.k))
+        rb = b.search(q.query_text, int(q.k))
+        assert [x[0] for x in ra] == [x[0] for x in rb], q.query_text
+        for (_, sa), (_, sb) in zip(ra, rb):
+            assert sa == pytest.approx(sb, rel=1e-12), q.query_text
+    # phrase positions survive the zero-shuffle path identically
+    from sync2any_spark.query.phrase import phrase_topk_positional
+
+    assert phrase_topk_positional(a, "ok w0000", 5) == pytest.approx(
+        phrase_topk_positional(b, "ok w0000", 5)
+    )

@@ -76,7 +76,8 @@ def test_resume_hash_mode_equals_single_run(
         F.pmod(F.xxhash64("conv_id"), F.lit(PARAMS["n_partitions"])) < 5
     )
     build_chunks(
-        partial, f"{resumed}/chunks", PARAMS["n_partitions"], tokenizer="pandas"
+        partial, f"{resumed}/chunks", PARAMS["n_partitions"], tokenizer="pandas",
+        n_buckets=PARAMS["n_buckets"], n_salts=PARAMS["n_salts"],
     ).count()
     done = completed_partitions(f"{resumed}/chunks")
     assert 0 < len(done) < PARAMS["n_partitions"]

@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Profile the salted postings merge in isolation at a given parallelism.
+"""Profile the postings merge in isolation at a given parallelism.
 
-Replays build_postings_direct's pipeline against an existing chunks dir and
-prints per-(bucket,sub,salt) group wall_ms plus the stage wall, so N-vs-4N
+Replays build_postings_direct (the ZERO-SHUFFLE merge) against an existing
+chunks dir and prints per-group wall_ms plus the stage wall, so N-vs-4N
 merge scaling can be decomposed into (task skew, substrate, overhead).
 
-Usage: taskset -c 0-N python tools/merge_profile.py <index_dir> <cpus> [out_json]
+Usage: taskset -c 0-N python tools/merge_profile.py <index_dir> <cpus> \
+           [n_buckets] [n_salts] [heavy_df]
 """
 import json
 import os
@@ -18,10 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     idx, cpus = sys.argv[1], int(sys.argv[2])
-    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_salts = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    heavy = int(sys.argv[5]) if len(sys.argv) > 5 else 20_000
     from sync2any_spark.session import get_spark
     from sync2any_spark.index.builder import (
-        IndexPaths, _postings_writer, _salted_chunks, build_term_stats_driver,
+        IndexPaths, build_postings_direct, build_term_stats_driver,
     )
     import pyarrow.dataset as ds
 
@@ -29,42 +32,23 @@ def main():
     paths = IndexPaths(idx)
     st = ds.dataset(paths.stats).to_table().to_pandas().iloc[0]
     avgdl = float(st.avgdl)
-    terms_pdf = build_term_stats_driver(paths.chunks, 32)
+    terms_pdf = build_term_stats_driver(paths.chunks, n_buckets)
     terms = spark.createDataFrame(
-        terms_pdf[terms_pdf["df"] > 20_000],
+        terms_pdf[terms_pdf["df"] > heavy],
         schema="term string, df long, cf long, bucket int",
     )
     out_dir = f"/dev/shm/merge_prof_c{cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
-    # warmup (JIT) on a small slice? keep one full run warm then timed run
     for rnd in range(2):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out_dir)
         t0 = time.time()
-        salted = _salted_chunks(spark, paths.chunks, terms, 32, 8, 20_000,
-                                "part-*.parquet")
-        man = salted.groupBy("bucket", "sub", "salt").applyInPandas(
-            _postings_writer(avgdl, out_dir),
-            schema="bucket int, sub int, salt int, n_blocks long, wall_ms long",
-        ).toPandas()
+        nb = build_postings_direct(
+            spark, paths.chunks, terms, avgdl, n_buckets, out_dir,
+            n_salts=n_salts, heavy_df_threshold=heavy,
+        )
         wall = time.time() - t0
-        tag = "warm" if rnd else "cold"
-        res = {
-            "cpus": cpus, "pass": tag, "stage_wall_s": round(wall, 2),
-            "n_groups": len(man),
-            "sum_task_ms": int(man.wall_ms.sum()),
-            "max_group_ms": int(man.wall_ms.max()),
-            "p99_group_ms": int(man.wall_ms.quantile(0.99)),
-            "p50_group_ms": int(man.wall_ms.quantile(0.5)),
-            "top10": man.nlargest(10, "wall_ms")[
-                ["bucket", "sub", "salt", "n_blocks", "wall_ms"]
-            ].to_dict("records"),
-        }
-        print(json.dumps(res))
-        if out_json and rnd:
-            with open(out_json, "w") as f:
-                json.dump(res, f)
+        print(json.dumps({
+            "cpus": cpus, "pass": "warm" if rnd else "cold",
+            "stage_wall_s": round(wall, 2), "n_blocks": nb,
+        }))
     shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
 
