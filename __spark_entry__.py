@@ -672,6 +672,22 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_audio_blob(_docs(spark, sf_dir), "doc_id"))
 
 
+def _q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 decode, oracle-checked: even docs carry µ-law WAVs
+    (format tag 7), odd docs A-law (tag 6), code stream a closed form of
+    doc_id (multimodal.attach_audio_blob_g711). The decoder must run the
+    ITU-T G.711 segment expansion (audiocodec._ulaw_table/_alaw_table);
+    the DuckDB oracle re-derives the SAME expansion from the spec
+    arithmetic in SQL bit operators and recomputes every feature — one
+    wrong LUT entry, sign, or segment shift fails the hash."""
+    from sync2any_spark.pipeline.multimodal import (
+        attach_audio_blob_g711,
+        audio_features,
+    )
+
+    return audio_features(attach_audio_blob_g711(_docs(spark, sf_dir), "doc_id"))
+
+
 def _q_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A24 lag/throughput metrics: per-conversation delay between the
     newest source event and a pinned index-build time (the reference's
@@ -804,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_events_events": _q_alert_events,
         "lag_metrics_transcripts": _q_lag_metrics,
         "audio_features_documents": _q_audio_features,
+        "audio_g711_documents": _q_audio_g711,
     }
 
 
@@ -1497,6 +1514,49 @@ def oracle_sql() -> dict[str, str]:
                round(avg(x), 6) AS mean_amp,
                round(sqrt(avg(x * x)), 6) AS rms
         FROM v GROUP BY doc_id
+    """
+    # G.711 µ-law/A-law expansion re-derived from the ITU-T segment
+    # arithmetic in SQL bit operators (verified bit-identical to the
+    # codec's 256-entry LUTs), then features over the expanded samples
+    out["audio_g711_documents"] = """
+        WITH d AS (SELECT doc_id FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, 160 + (doc_id % 4)::INT * 80 - 1))
+                   AS i
+          FROM d
+        ),
+        codes AS (
+          SELECT doc_id, ((doc_id * 11 + i * 17) % 256)::INT AS code
+          FROM s
+        ),
+        expanded AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN
+              -- µ-law: invert, mantissa<<3 + bias 132, shift by segment
+              (SELECT CASE WHEN (u & 128) != 0
+                 THEN 132 - ((((u & 15) << 3) + 132) << ((u & 112) >> 4))
+                 ELSE ((((u & 15) << 3) + 132) << ((u & 112) >> 4)) - 132
+               END FROM (SELECT 255 - code AS u) _)
+            ELSE
+              -- A-law: xor 0x55, segmented mantissa expansion
+              (SELECT CASE WHEN (a & 128) != 0 THEN t ELSE -t END
+               FROM (SELECT a,
+                       CASE WHEN ((a & 112) >> 4) = 0
+                         THEN ((a & 15) << 4) + 8
+                         ELSE (((a & 15) << 4) + 264) << (((a & 112) >> 4) - 1)
+                       END AS t
+                     FROM (SELECT xor(code, 85) AS a) _) _)
+            END::DOUBLE AS x
+          FROM codes
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_samples,
+               8000 AS sample_rate,
+               round(count(*) / 8000.0, 6) AS duration_s,
+               round(avg(x), 6) AS mean_amp,
+               round(sqrt(avg(x * x)), 6) AS rms
+        FROM expanded GROUP BY doc_id
     """
     # A24 per-conversation lag vs a pinned index time
     out["lag_metrics_transcripts"] = f"""

@@ -17,9 +17,15 @@ DC→IDCT→level-shift path is exact for integer samples, so
 real bitstream (markers, canonical Huffman, DC prediction across blocks,
 amplitude categories, byte stuffing) with a closed-form expected output.
 
-The Huffman walk is per-bit Python — correctness-first (frames in tests
-are tiny); a production deployment swaps in libjpeg/ffmpeg at the same
-``NotImplementedError`` plug-in points this module removes for baseline.
+The Huffman decode is LUT-driven (round 4): each DHT table becomes a
+2^16-entry table mapping the next 16 bits to (code length, symbol) — one
+list lookup per symbol instead of a per-bit tree walk — and the bit
+cursor reads through precomputed 32-bit windows (numpy builds them
+vectorized, the scan walks them as native ints). The walk itself stays
+sequential Python because JPEG entropy decode is data-dependent
+(coefficient counts steer the cursor), but per-symbol cost drops ~10×;
+a production deployment can still swap in libjpeg/ffmpeg at the
+``NotImplementedError`` plug-in points for non-baseline streams.
 """
 
 from __future__ import annotations
@@ -103,9 +109,32 @@ def _canonical_codes(counts, symbols):
     return out
 
 
-def _decode_map(counts, symbols):
-    """(code, length) → symbol for the bit-walk decoder."""
-    return {v: s for s, v in _canonical_codes(counts, symbols).items()}
+_LUT_CACHE: "dict[bytes, list]" = {}
+
+
+def _decode_lut(counts, symbols):
+    """2^16-entry decode LUT: index = the next 16 scan bits, value =
+    ``(code_length << 8) | symbol`` (0 = no code has this prefix). Every
+    code of length L owns a 2^(16−L) slice of the table, so one lookup
+    replaces the per-bit canonical-tree walk. Cached by table content —
+    MJPEG streams repeat the same four DHT tables every frame."""
+    key = bytes(counts) + bytes(symbols)
+    got = _LUT_CACHE.get(key)
+    if got is not None:
+        return got
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (length << 8) | symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()  # native ints: list indexing beats numpy scalars
+    _LUT_CACHE[key] = out
+    return out
 
 
 _IDCT_M = None
@@ -121,34 +150,21 @@ def _idct_matrix() -> np.ndarray:
     return _IDCT_M
 
 
-def idct2(block: np.ndarray) -> np.ndarray:
-    m = _idct_matrix()
-    return m.T @ block @ m
-
-
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         # un-stuff 0xFF00 → 0xFF (restart markers 0xFFD0-D7 are untouched
         # and consumed explicitly via skip_restart)
         self.data = data.replace(b"\xff\x00", b"\xff")
         self.pos = 0  # bit position
-
-    def bit(self) -> int:
-        i = self.pos >> 3
-        if i >= len(self.data):
-            # a truncated scan must surface as the codec's ValueError
-            # contract, not a raw IndexError from inside the Huffman walk
-            raise ValueError("truncated JPEG scan")
-        byte = self.data[i]
-        b = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        self.nbits = len(self.data) * 8
+        # 32-bit big-endian window at every byte offset (zero-padded tail),
+        # built vectorized once; peek16 then needs one index + one shift
+        b = np.concatenate(
+            [np.frombuffer(self.data, dtype=np.uint8), np.zeros(4, np.uint8)]
+        ).astype(np.uint32)
+        self.words = (
+            (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+        ).tolist()
 
     def skip_restart(self) -> None:
         """Byte-align and consume one RSTn marker (T.81 E.1.4: entropy
@@ -165,28 +181,13 @@ class _BitReader:
         self.pos += 16
 
 
-def _extend(v: int, s: int) -> int:
-    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
-def _read_symbol(r: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | r.bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
-
-
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → (H, W) uint8 (grayscale) or (H, W, 3) uint8 (RGB)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
+    huff: dict[tuple[int, int], list] = {}  # (class, id) → decode LUT
     frame = None
     scan_comps = None
     scan_data = None
@@ -241,7 +242,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17 : p + 17 + n])
                 if len(counts) < 16 or len(symbols) < n:
                     raise ValueError("malformed DHT segment (symbols cut off)")
-                huff[(tc, th)] = _decode_map(counts, symbols)
+                huff[(tc, th)] = _decode_lut(counts, symbols)
                 p += 17 + n
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -275,62 +276,118 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcux = (w + 8 * max_h - 1) // (8 * max_h)
     mcuy = (h + 8 * max_v - 1) // (8 * max_v)
     by_id = {c["id"]: c for c in comps}
-    # each component decodes into its OWN (subsampled) plane; upsampling to
-    # the full frame happens after the scan
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
     pred = {c["id"]: 0 for c in comps}
     r = _BitReader(scan_data)
 
-    def decode_block(comp, dc_t, ac_t):
-        coef = np.zeros(64, dtype=np.int64)
-        s = _read_symbol(r, dc_t)
-        diff = _extend(r.bits(s), s) if s else 0
-        pred[comp["id"]] += diff
-        coef[0] = pred[comp["id"]]
-        k = 1
-        while k < 64:
-            rs = _read_symbol(r, ac_t)
-            rr, ss = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rr
-            coef[k] = _extend(r.bits(ss), ss)
-            k += 1
-        # dequantize in zigzag order, then place into natural order
-        dq = np.zeros(64, dtype=np.float64)
-        dq[ZIGZAG] = coef * qt[comp["tq"]]
-        return idct2(dq.reshape(8, 8)) + 128.0
+    # SCAN phase: sequential entropy decode — data-dependent, so it stays
+    # Python, but fully INLINED: the bit cursor is a local int over the
+    # precomputed 32-bit windows, each Huffman symbol is one LUT lookup,
+    # and only the NONZERO coefficients are kept as (block, zigzag-k,
+    # value) triplets per component. All numeric work (dequant, IDCT,
+    # placement) happens vectorized over whole components afterwards.
+    words = r.words
+    nbits = r.nbits
+    pos = 0
+    tri = {c["id"]: ([], [], []) for c in comps}  # (block, zigzag k, value)
+    nblk = {c["id"]: 0 for c in comps}
+    sched = [
+        (
+            by_id[sc["id"]]["id"],
+            by_id[sc["id"]]["v"] * by_id[sc["id"]]["h"],
+            huff[(0, sc["dc"])],
+            huff[(1, sc["ac"])],
+        )
+        for sc in scan_comps
+    ]
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.pos = pos
+            r.skip_restart()
+            pos = r.pos
+            for cid in pred:
+                pred[cid] = 0
+        for cid, units, dc_lut, ac_lut in sched:
+            bis, ks, vs = tri[cid]
+            # h×v data units per MCU, raster order (T.81 A.2.3)
+            for _ in range(units):
+                bi = nblk[cid]
+                nblk[cid] = bi + 1
+                if pos >= nbits:
+                    raise ValueError("truncated JPEG scan")
+                v = dc_lut[(words[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+                if v == 0:
+                    raise ValueError("invalid Huffman code in scan")
+                pos += v >> 8
+                s = v & 0xFF
+                if pos + s > nbits:
+                    raise ValueError("truncated JPEG scan")
+                if s:
+                    amp = (words[pos >> 3] >> (32 - (pos & 7) - s)) & (
+                        (1 << s) - 1
+                    )
+                    pos += s
+                    pred[cid] += (
+                        amp if amp >= 1 << (s - 1) else amp - (1 << s) + 1
+                    )
+                bis.append(bi)
+                ks.append(0)
+                vs.append(pred[cid])
+                k = 1
+                while k < 64:
+                    if pos >= nbits:
+                        raise ValueError("truncated JPEG scan")
+                    v = ac_lut[(words[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+                    if v == 0:
+                        raise ValueError("invalid Huffman code in scan")
+                    pos += v >> 8
+                    rs = v & 0xFF
+                    if rs == 0x00:  # EOB
+                        if pos > nbits:
+                            raise ValueError("truncated JPEG scan")
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    ss = rs & 0xF
+                    if pos + ss > nbits:
+                        raise ValueError("truncated JPEG scan")
+                    if k > 63:
+                        raise ValueError("coefficient run overflow in scan")
+                    amp = (words[pos >> 3] >> (32 - (pos & 7) - ss)) & (
+                        (1 << ss) - 1
+                    )
+                    pos += ss
+                    bis.append(bi)
+                    ks.append(k)
+                    vs.append(
+                        amp if amp >= 1 << (ss - 1) else amp - (1 << ss) + 1
+                    )
+                    k += 1
 
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.skip_restart()
-                for cid in pred:
-                    pred[cid] = 0
-            mcu_count += 1
-            for sc in scan_comps:
-                comp = by_id[sc["id"]]
-                dc_t = huff[(0, sc["dc"])]
-                ac_t = huff[(1, sc["ac"])]
-                # h×v data units per MCU, raster order (T.81 A.2.3)
-                for bv in range(comp["v"]):
-                    for bh_i in range(comp["h"]):
-                        px = decode_block(comp, dc_t, ac_t)
-                        y0 = (my * comp["v"] + bv) * 8
-                        x0 = (mx * comp["h"] + bh_i) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    # VECTOR phase: per component, one sparse scatter does de-zigzag AND
+    # dequantization, then a batched 8×8 IDCT and one reshape/transpose
+    # lands every block in its plane position
+    m = _idct_matrix()
     outs = []
     for c in comps:
-        p = planes[c["id"]]
-        if c["h"] < max_h or c["v"] < max_v:  # nearest-neighbor upsample
-            p = np.repeat(np.repeat(p, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
+        cv, chh = c["v"], c["h"]
+        bis, ks, vs = tri[c["id"]]
+        ka = np.array(ks, dtype=np.int64)
+        dq = np.zeros((nblk[c["id"]], 64), dtype=np.float64)
+        dq[np.array(bis, dtype=np.int64), ZIGZAG[ka]] = (
+            np.array(vs, dtype=np.float64) * qt[c["tq"]][ka]
+        )
+        sp = dq.reshape(-1, 8, 8)
+        px = (m.T @ sp @ m) + 128.0  # batched 8×8 IDCT (matmul broadcasts)
+        # (my, mx, bv, bh, y, x) → rows (my, bv, y), cols (mx, bh, x)
+        p = (
+            px.reshape(mcuy, mcux, cv, chh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * chh * 8)
+        )
+        if chh < max_h or cv < max_v:  # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // chh, axis=1)
         outs.append(p[:h, :w])
     if len(outs) == 1:
         return np.clip(np.rint(outs[0]), 0, 255).astype(np.uint8)

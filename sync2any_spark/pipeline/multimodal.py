@@ -263,6 +263,39 @@ def attach_audio_blob(df: DataFrame, id_col: str, sample_rate: int = 8000) -> Da
     )
 
 
+def attach_audio_blob_g711(
+    df: DataFrame, id_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic G.711 telephony payload per row: even ids carry
+    µ-law (format tag 7), odd ids A-law (tag 6), with code stream
+    ``code(i) = (id·11 + i·17) mod 256`` over ``n = 160 + (id mod 4)·80``
+    samples. The bytes are spec-conformant companded WAVs
+    (``audiocodec.encode_wav_g711``); decode must run the ITU-T G.711
+    segment expansion, which a SQL oracle re-derives from the same
+    closed-form codes — a wrong LUT entry anywhere shifts mean/RMS."""
+
+    def synth(batches):
+        from .audiocodec import encode_wav_g711
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blobs = []
+            for i in ids:
+                n = 160 + (int(i) % 4) * 80
+                codes = ((int(i) * 11 + np.arange(n, dtype=np.int64) * 17) % 256)
+                law = "ulaw" if int(i) % 2 == 0 else "alaw"
+                blobs.append(
+                    encode_wav_g711(codes.astype(np.uint8), law, sample_rate)
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "blob": blobs, "mime": ["audio/wav"] * len(ids)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id long, blob binary, mime string"
+    )
+
+
 def audio_features(blobs: DataFrame) -> DataFrame:
     """Real WAV decode → per-payload features (sample count, rate,
     duration, mean amplitude, RMS) via ``mapInPandas`` — the

@@ -643,8 +643,8 @@ def test_audio_codec_and_features(spark):
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"never a wav")
     bad = bytearray(encode_wav(mono))
-    bad[bad.find(b"fmt ") + 8] = 3  # IEEE-float tag
-    with pytest.raises(NotImplementedError, match="format tag 3"):
+    bad[bad.find(b"fmt ") + 8] = 2  # MS-ADPCM tag — genuinely compressed
+    with pytest.raises(NotImplementedError, match="format tag 2"):
         decode_wav(bytes(bad))
 
     ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
@@ -660,6 +660,62 @@ def test_audio_codec_and_features(spark):
         assert r.duration_s == pytest.approx(n / 8000.0, abs=1e-6)
         assert r.mean_amp == pytest.approx(x.mean(), abs=1e-5)
         assert r.rms == pytest.approx(np.sqrt((x * x).mean()), abs=1e-5)
+
+
+def test_audio_float_g711_extensible():
+    """Round-4 WAV format coverage: IEEE-float roundtrip is bit-exact;
+    G.711 µ-law/A-law decode equals the ITU-T G.711 segment expansion
+    (monotonic over each law's positive codes, correct extremes, exact
+    roundtrip through the real container); WAVE_FORMAT_EXTENSIBLE
+    resolves through its SubFormat GUID."""
+    import struct
+
+    import numpy as np
+
+    from sync2any_spark.pipeline.audiocodec import (
+        _ALAW,
+        _ULAW,
+        decode_wav,
+        encode_wav_float,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(31)
+    # float32 roundtrip — bit-exact
+    f = rng.standard_normal(513).astype(np.float32)
+    meta, out = decode_wav(encode_wav_float(f, 44100))
+    assert meta["tag"] == 3 and meta["bits"] == 32 and meta["sample_rate"] == 44100
+    assert np.array_equal(out.ravel(), f.astype(np.float64))
+
+    # G.711 LUT spec properties (derived, not copied: extremes + zero codes)
+    assert _ULAW[0x00] == -32124 and _ULAW[0x80] == 32124  # ±max magnitude
+    assert _ULAW[0xFF] == 0 and _ULAW[0x7F] == 0  # the two zero codes
+    assert int(np.abs(_ULAW).max()) == 32124
+    assert int(np.abs(_ALAW).max()) == 32256
+    # each law covers positive and negative ranges symmetrically
+    assert set(np.abs(_ULAW)) == set(np.abs(_ULAW * -1))
+    # µ-law decode mirrors: code c and c^0x80 differ only in sign
+    c = np.arange(256)
+    assert np.array_equal(_ULAW[c], -_ULAW[c ^ 0x80])
+    assert np.array_equal(_ALAW[c], -_ALAW[c ^ 0x80])
+
+    # container roundtrip: payload codes expand through the LUT exactly
+    codes = rng.integers(0, 256, 400).astype(np.uint8)
+    for law, lut, tag in (("ulaw", _ULAW, 7), ("alaw", _ALAW, 6)):
+        m, pcm = decode_wav(encode_wav_g711(codes, law))
+        assert m["tag"] == tag and m["bits"] == 8
+        assert np.array_equal(pcm.ravel(), lut[codes])
+
+    # WAVE_FORMAT_EXTENSIBLE: tag 0xFFFE + SubFormat GUID → real format
+    from sync2any_spark.pipeline.audiocodec import _wav_container
+
+    fmt_body = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8)
+        + struct.pack("<HHI", 22, 8, 0x4)  # cbSize, validBits, channelMask
+        + struct.pack("<H", 7) + b"\x00" * 14  # SubFormat GUID, tag-first
+    )
+    m, pcm = decode_wav(_wav_container(fmt_body, codes.tobytes()))
+    assert m["tag"] == 7 and np.array_equal(pcm.ravel(), _ULAW[codes])
 
 
 def test_jpeg_restart_markers():
