@@ -1,21 +1,27 @@
-"""Pure-numpy baseline JPEG codec — the MJPEG plug-in, no libjpeg.
+"""Pure-numpy JPEG codec (baseline + progressive) — the MJPEG plug-in,
+no libjpeg.
 
-Decoder: baseline sequential DCT JPEG (ITU-T T.81) — marker parse
+Decoder: sequential baseline DCT JPEG (ITU-T T.81) — marker parse
 (DQT/SOF0/DHT/DRI/SOS), canonical Huffman decode with DC prediction,
 restart-marker handling (byte realign + predictor reset every DRI
 interval), 0xFF00 byte-unstuffing, de-zigzag, dequantization, 8×8 IDCT
 (exact DCT-III matrix form), level shift, nearest-neighbor chroma
-upsampling, and JFIF YCbCr→RGB for 3-component scans. Sampling factors 1
-and 2 (grayscale, 4:4:4, 4:2:2, 4:2:0 — everything MJPEG cameras emit);
-progressive (SOF2) and arithmetic-coded streams raise by marker.
+upsampling, and JFIF YCbCr→RGB for 3-component scans — AND progressive
+DCT (SOF2, Annex G): multi-scan spectral selection + successive
+approximation, interleaved or single-component DC scans, cross-block EOB
+runs, and AC refinement with interleaved correction bits. Sampling
+factors 1 and 2 (grayscale, 4:4:4, 4:2:2, 4:2:0); lossless/hierarchical
+and arithmetic-coded streams raise by marker.
 
-Encoder: a RESTRICTED exact encoder for test fixtures — images constant
-per 8×8 block, quantization tables of all ones, standard Annex K Huffman
-tables. Such blocks carry only a DC coefficient, and with Q=1 the
-DC→IDCT→level-shift path is exact for integer samples, so
-``decode(encode(x)) == x`` bit-for-bit: the fixture exercises the full
-real bitstream (markers, canonical Huffman, DC prediction across blocks,
-amplitude categories, byte stuffing) with a closed-form expected output.
+Encoders: RESTRICTED exact encoders for test fixtures. Baseline:
+block-constant images, all-ones quantization, Annex K tables — only DC
+coefficients survive, so ``decode(encode(x)) == x`` bit-for-bit with a
+closed-form expected output. Progressive: the same block-constant form
+as an SOF2 scan script (interleaved DC + all-EOB AC scans), plus a
+COEFFICIENT-LEVEL grayscale encoder (arbitrary quantized coefficients,
+any band partition and approximation depth) whose expected image is the
+closed numpy form dezigzag → IDCT → +128 — full Annex G bitstreams with
+independently-computable ground truth.
 
 The Huffman decode is LUT-driven (round 4): each DHT table becomes a
 2^16-entry table mapping the next 16 bits to (code length, symbol) — one
@@ -166,6 +172,29 @@ class _BitReader:
             (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
         ).tolist()
 
+    def read_symbol(self, lut: list) -> int:
+        """One Huffman symbol via the 2^16 LUT (progressive scans use
+        these method forms; the baseline hot path inlines them)."""
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("truncated JPEG scan")
+        v = lut[(self.words[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+        if v == 0:
+            raise ValueError("invalid Huffman code in scan")
+        self.pos = p + (v >> 8)
+        if self.pos > self.nbits:
+            raise ValueError("truncated JPEG scan")
+        return v & 0xFF
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("truncated JPEG scan")
+        self.pos = p + n
+        return (self.words[p >> 3] >> (32 - (p & 7) - n)) & ((1 << n) - 1)
+
     def skip_restart(self) -> None:
         """Byte-align and consume one RSTn marker (T.81 E.1.4: entropy
         segments are padded to a byte boundary before each restart)."""
@@ -181,16 +210,208 @@ class _BitReader:
         self.pos += 16
 
 
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit amplitude to its signed value."""
+    return v if s == 0 or v >= 1 << (s - 1) else v - (1 << s) + 1
+
+
+def _decode_progressive(frame, scans, qt, mcux, mcuy, max_h, max_v):
+    """Progressive JPEG (T.81 Annex G, Huffman): every scan deposits
+    partial coefficients into per-component MCU-padded block grids —
+    DC scans (interleaved or single-component) with successive
+    approximation, AC scans (always single-component) with spectral
+    selection, EOB runs spanning blocks, and AC refinement scans that
+    interleave correction bits for already-nonzero coefficients with
+    newly-significant ones. Returns full-resolution float planes."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    by_id = {c["id"]: c for c in comps}
+    geom = {}
+    coef = {}
+    for c in comps:
+        gw = mcux * c["h"]  # padded grid width/height in blocks
+        gh = mcuy * c["v"]
+        cw = ((w * c["h"] + max_h - 1) // max_h + 7) // 8  # actual blocks
+        ch = ((h * c["v"] + max_v - 1) // max_v + 7) // 8
+        geom[c["id"]] = (gw, gh, cw, ch)
+        coef[c["id"]] = [[0] * 64 for _ in range(gw * gh)]
+
+    for sc in scans:
+        r = _BitReader(sc["data"])
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        dri = sc["dri"]
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            _prog_dc_scan(r, sc, by_id, geom, coef, mcux, mcuy, ah, al, dri)
+        else:
+            if len(sc["comps"]) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            s0 = sc["comps"][0]
+            lut = sc["huff"][(1, s0["ac"])]
+            _prog_ac_scan(
+                r, geom[s0["id"]], coef[s0["id"]], lut, ss, se, ah, al, dri
+            )
+
+    # dequant + batched IDCT + raster placement (blocks stored row-major)
+    m = _idct_matrix()
+    outs = []
+    for c in comps:
+        gw, gh, _cw, _ch = geom[c["id"]]
+        arr = np.array(coef[c["id"]], dtype=np.float64)  # (gw*gh, 64) zigzag
+        dq = np.empty_like(arr)
+        dq[:, ZIGZAG] = arr * qt[c["tq"]][None, :]
+        px = (m.T @ dq.reshape(-1, 8, 8) @ m) + 128.0
+        p = px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        if c["h"] < max_h or c["v"] < max_v:
+            p = np.repeat(
+                np.repeat(p, max_v // c["v"], axis=0), max_h // c["h"], axis=1
+            )
+        outs.append(p[:h, :w])
+    return outs
+
+
+def _prog_dc_scan(r, sc, by_id, geom, coef, mcux, mcuy, ah, al, dri):
+    """DC scan: first pass (Ah=0) Huffman-codes diffs of DC>>Al with
+    per-component prediction; refinement (Ah>0) is one raw bit per block
+    ORed in at Al. Interleaved iterates MCUs; a single-component scan
+    iterates the component's ACTUAL block grid (padding blocks are not
+    coded — T.81 A.2.2)."""
+    scomps = sc["comps"]
+    pred = {s["id"]: 0 for s in scomps}
+    if len(scomps) > 1:  # interleaved, MCU order
+        units = []
+        for s in scomps:
+            c = by_id[s["id"]]
+            lut = sc["huff"][(0, s["dc"])] if ah == 0 else None
+            units.append((c["id"], c["h"], c["v"], geom[c["id"]][0], lut))
+        for mcu in range(mcuy * mcux):
+            if dri and mcu and mcu % dri == 0:
+                r.skip_restart()
+                for cid in pred:
+                    pred[cid] = 0
+            my, mx = divmod(mcu, mcux)
+            for cid, chh, cv, gw, lut in units:
+                for bv in range(cv):
+                    for bh in range(chh):
+                        block = coef[cid][(my * cv + bv) * gw + mx * chh + bh]
+                        if ah == 0:
+                            s = r.read_symbol(lut)
+                            pred[cid] += _extend(r.bits(s), s)
+                            block[0] = pred[cid] << al
+                        elif r.bits(1):
+                            block[0] |= 1 << al
+    else:
+        s0 = scomps[0]
+        gw, _gh, cw, ch = geom[s0["id"]]
+        blocks = coef[s0["id"]]
+        lut = sc["huff"][(0, s0["dc"])] if ah == 0 else None
+        n = 0
+        for row in range(ch):
+            for col in range(cw):
+                if dri and n and n % dri == 0:
+                    r.skip_restart()
+                    pred[s0["id"]] = 0
+                n += 1
+                block = blocks[row * gw + col]
+                if ah == 0:
+                    s = r.read_symbol(lut)
+                    pred[s0["id"]] += _extend(r.bits(s), s)
+                    block[0] = pred[s0["id"]] << al
+                elif r.bits(1):
+                    block[0] |= 1 << al
+
+
+def _prog_ac_scan(r, geom, blocks, lut, ss, se, ah, al, dri):
+    """AC scan over one component's actual block grid. First pass
+    (Ah=0): run-length symbols place values<<Al, EOBn codes span blocks.
+    Refinement (Ah>0): the T.81 G.1.2.3 walk — newly-significant
+    coefficients are coded (r, s=1)+sign, and every already-nonzero
+    coefficient passed over (including the whole band tail under an EOB
+    run) receives a correction bit."""
+    gw, _gh, cw, ch = geom
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    n = 0
+    for row in range(ch):
+        for col in range(cw):
+            if dri and n and n % dri == 0:
+                r.skip_restart()
+                eobrun = 0
+            n += 1
+            block = blocks[row * gw + col]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = r.read_symbol(lut)
+                    rr, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16
+                    else:
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC coefficient outside band")
+                        block[k] = _extend(r.bits(s), s) << al
+                        k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = r.read_symbol(lut)
+                        rr, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        else:
+                            val = p1 if r.bits(1) else m1
+                        while k <= se:
+                            c = block[k]
+                            if c:
+                                if r.bits(1) and not (c & p1):
+                                    block[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if s:
+                            if k > se:
+                                raise ValueError("AC refine outside band")
+                            block[k] = val
+                        k += 1
+                if eobrun:
+                    while k <= se:
+                        c = block[k]
+                        if c and r.bits(1) and not (c & p1):
+                            block[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W) uint8 (grayscale) or (H, W, 3) uint8 (RGB)."""
+    """Baseline or progressive JPEG → (H, W) uint8 (grayscale) or
+    (H, W, 3) uint8 (RGB)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], list] = {}  # (class, id) → decode LUT
     frame = None
-    scan_comps = None
-    scan_data = None
+    scans: list[dict] = []
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -219,17 +440,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
                     p += 64
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {
+                "h": h, "w": w, "comps": comps, "prec": prec,
+                "prog": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) — libjpeg "
-                f"plugs in here; MJPEG streams are baseline"
+                f"plugs in here; MJPEG streams are baseline or progressive"
             )
         elif marker == 0xDD:  # DRI — restart interval in MCUs
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -250,6 +474,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append({"id": cs, "dc": tables >> 4, "ac": tables & 0xF})
+            # spectral selection + successive approximation (baseline:
+            # 0, 63, 0, 0 — progressive scans vary them per T.81 Annex G)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # entropy-coded data runs until the next non-RST marker
             p = pos + seglen
             q = p
@@ -260,10 +488,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     break
                 q += 1
             scan_data = data[p:q]
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "data": scan_data,
+                    "huff": dict(huff),  # tables may be redefined per scan
+                    "dri": restart_interval,
+                }
+            )
             pos = q
             continue
         pos += seglen
-    if frame is None or scan_data is None:
+    if frame is None or not scans:
         raise ValueError("missing SOF/SOS")
     comps = frame["comps"]
     if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
@@ -276,8 +516,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcux = (w + 8 * max_h - 1) // (8 * max_h)
     mcuy = (h + 8 * max_v - 1) // (8 * max_v)
     by_id = {c["id"]: c for c in comps}
+
+    if frame["prog"]:
+        outs = _decode_progressive(frame, scans, qt, mcux, mcuy, max_h, max_v)
+        return _finish_planes(outs)
+
+    scan0 = scans[0]
+    scan_comps = scan0["comps"]
+    restart_interval = scan0["dri"]
     pred = {c["id"]: 0 for c in comps}
-    r = _BitReader(scan_data)
+    r = _BitReader(scan0["data"])
 
     # SCAN phase: sequential entropy decode — data-dependent, so it stays
     # Python, but fully INLINED: the bit cursor is a local int over the
@@ -294,8 +542,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (
             by_id[sc["id"]]["id"],
             by_id[sc["id"]]["v"] * by_id[sc["id"]]["h"],
-            huff[(0, sc["dc"])],
-            huff[(1, sc["ac"])],
+            scan0["huff"][(0, sc["dc"])],
+            scan0["huff"][(1, sc["ac"])],
         )
         for sc in scan_comps
     ]
@@ -389,6 +637,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if chh < max_h or cv < max_v:  # nearest-neighbor upsample
             p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // chh, axis=1)
         outs.append(p[:h, :w])
+    return _finish_planes(outs)
+
+
+def _finish_planes(outs: "list[np.ndarray]") -> np.ndarray:
+    """Full-resolution component planes → uint8 image (JFIF YCbCr→RGB for
+    3-component frames)."""
     if len(outs) == 1:
         return np.clip(np.rint(outs[0]), 0, 255).astype(np.uint8)
     y, cb, cr = outs
@@ -565,5 +819,317 @@ def encode_jpeg_blocks(
                 put_block(1, planes[1][myy * 16, mxx * 16])
                 put_block(2, planes[2][myy * 16, mxx * 16])
     out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive fixture encoders (T.81 Annex G bitstreams with closed-form
+# expected output) — the decoder's test harness, not a general encoder
+# ---------------------------------------------------------------------------
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+# progressive AC table: baseline Annex K AC tables lack the EOBn symbols
+# (r>0, s=0) progressive scans need, so the fixtures carry a generic
+# canonical table covering every (run, size) byte — 254 8-bit + 2 9-bit
+# codes, leaving the all-ones code unused as T.81 C.2 requires
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _sos_segment(comp_spec: "list[tuple[int, int, int]]",
+                 ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_spec)])
+    for cs, td, ta in comp_spec:
+        body += bytes([cs, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+class _ProgACWriter:
+    """Cross-block EOB-run accumulator for progressive AC scans: blocks
+    with no newly-significant coefficients join a pending run; the EOBn
+    symbol (plus, for refinement scans, each covered block's correction
+    bits in order) is emitted when the run is broken or the scan ends."""
+
+    def __init__(self, wtr: "_BitWriter", codes: dict) -> None:
+        self.wtr = wtr
+        self.codes = codes
+        self.run = 0
+        self.tails: "list[list[int]]" = []
+
+    def eob_block(self, tail_bits: "list[int]") -> None:
+        self.run += 1
+        self.tails.append(tail_bits)
+        if self.run == 32767:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.run == 0:
+            return
+        rr = self.run.bit_length() - 1
+        code, ln = self.codes[rr << 4]
+        self.wtr.write(code, ln)
+        if rr:
+            self.wtr.write(self.run - (1 << rr), rr)
+        for bits_ in self.tails:
+            for b in bits_:
+                self.wtr.write(b, 1)
+        self.run = 0
+        self.tails = []
+
+
+def _emit_ac_first(acw: _ProgACWriter, wtr: "_BitWriter", codes: dict,
+                   vals, ss: int, se: int, al: int) -> None:
+    nz = [(k, _pt_ac(int(vals[k]), al)) for k in range(ss, se + 1)]
+    nz = [(k, v) for k, v in nz if v]
+    if not nz:
+        acw.eob_block([])
+        return
+    acw.flush()
+    k = ss
+    for p, v in nz:
+        run = p - k
+        while run >= 16:
+            code, ln = codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = codes[(run << 4) | s]
+        wtr.write(code, ln)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        wtr.write(amp & ((1 << s) - 1), s)
+        k = p + 1
+    if k <= se:
+        acw.eob_block([])
+
+
+def _emit_ac_refine(acw: _ProgACWriter, wtr: "_BitWriter", codes: dict,
+                    vals, ss: int, se: int, al: int) -> None:
+    hist = [_pt_ac(int(vals[k]), al + 1) != 0 for k in range(64)]
+    cur = [_pt_ac(int(vals[k]), al) for k in range(64)]
+    newpos = [k for k in range(ss, se + 1) if not hist[k] and cur[k]]
+    for k in newpos:
+        if abs(cur[k]) != 1:
+            raise ValueError("refinement can only introduce magnitude 1")
+    if not newpos:
+        acw.eob_block([abs(cur[j]) & 1 for j in range(ss, se + 1) if hist[j]])
+        return
+    acw.flush()
+    k = ss
+    for p in newpos:
+        run = sum(1 for j in range(k, p) if not hist[j])
+        while run >= 16:
+            code, ln = codes[0xF0]
+            wtr.write(code, ln)
+            consumed = 0
+            while consumed < 16:
+                if hist[k]:
+                    wtr.write(abs(cur[k]) & 1, 1)
+                else:
+                    consumed += 1
+                k += 1
+            run -= 16
+        code, ln = codes[(run << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if cur[p] > 0 else 0, 1)
+        while k < p:
+            if hist[k]:
+                wtr.write(abs(cur[k]) & 1, 1)
+            k += 1
+        k = p + 1
+    if k <= se:
+        acw.eob_block([abs(cur[j]) & 1 for j in range(k, se + 1) if hist[j]])
+
+
+def encode_jpeg_progressive_gray(
+    coefs: np.ndarray, h: int, w: int,
+    dc_al: int = 1,
+    ac_bands: "tuple[tuple[int, int], ...]" = ((1, 5), (6, 63)),
+    ac_al: int = 1,
+) -> bytes:
+    """Grayscale progressive JPEG from EXPLICIT quantized coefficients
+    (``(n_blocks, 64)`` int array, zigzag order, Q = 1): the fixture has
+    full coefficient control, so the expected image is a closed numpy
+    form (dezigzag → IDCT → +128) while the bitstream exercises the whole
+    Annex G scan machinery — DC first + successive-approximation refines,
+    per-band AC first scans with cross-block EOB runs and ZRL, and AC
+    refinement scans with interleaved correction bits."""
+    coefs = np.asarray(coefs, dtype=np.int64)
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    n = mcux * mcuy
+    if coefs.shape != (n, 64):
+        raise ValueError(f"need ({n}, 64) coefficient blocks for {w}x{h}")
+    bands = [tuple(b) for b in ac_bands]
+    covered = sorted(k for ss, se in bands for k in range(ss, se + 1))
+    if covered != list(range(1, 64)):
+        raise ValueError("ac_bands must partition 1..63")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, PROG_AC)
+    dc_codes = _canonical_codes(*DC_LUMA)
+    ac_codes = _canonical_codes(*PROG_AC)
+
+    # DC first scan (Al = dc_al): Huffman diffs of the shifted values
+    wtr = _BitWriter()
+    pred = 0
+    for b in range(n):
+        d = int(coefs[b, 0]) >> dc_al
+        diff = d - pred
+        pred = d
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        wtr.write(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            wtr.write(amp & ((1 << s) - 1), s)
+    out += _sos_segment([(1, 0, 0)], 0, 0, 0, dc_al) + wtr.flush()
+    # DC refinement scans: one raw bit per block per level
+    for a in range(dc_al - 1, -1, -1):
+        wtr = _BitWriter()
+        for b in range(n):
+            wtr.write((int(coefs[b, 0]) >> a) & 1, 1)
+        out += _sos_segment([(1, 0, 0)], 0, 0, a + 1, a) + wtr.flush()
+    # AC first scans per band
+    for ss, se in bands:
+        wtr = _BitWriter()
+        acw = _ProgACWriter(wtr, ac_codes)
+        for b in range(n):
+            _emit_ac_first(acw, wtr, ac_codes, coefs[b], ss, se, ac_al)
+        acw.flush()
+        out += _sos_segment([(1, 0, 0)], ss, se, 0, ac_al) + wtr.flush()
+    # AC refinement scans per band per level
+    for ss, se in bands:
+        for a in range(ac_al - 1, -1, -1):
+            wtr = _BitWriter()
+            acw = _ProgACWriter(wtr, ac_codes)
+            for b in range(n):
+                _emit_ac_refine(acw, wtr, ac_codes, coefs[b], ss, se, a)
+            acw.flush()
+            out += _sos_segment([(1, 0, 0)], ss, se, a + 1, a) + wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_blocks(
+    img: np.ndarray, subsampling: str = "444", dc_al: int = 1
+) -> bytes:
+    """Progressive spelling of ``encode_jpeg_blocks``: the same
+    block-constant restriction (DC-only blocks, Q = 1) emitted as an
+    SOF2 scan script — INTERLEAVED DC first scan + refinement, then one
+    all-EOB AC scan per component — so color/subsampled progressive
+    streams with MCU-ordered DC decoding get a closed-form fixture."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if gray or subsampling == "444":
+        tile, samp_y = 8, 0x11
+    else:
+        tile, samp_y = 16, 0x22
+    if h % tile or w % tile:
+        raise ValueError(f"fixture encoder needs multiple-of-{tile} dims")
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    th_, tw_ = h // tile, w // tile
+    for p in planes:
+        tiles = p.reshape(th_, tile, tw_, tile)
+        if not np.allclose(tiles, tiles[:, :1, :, :1]):
+            raise ValueError(f"fixture encoder needs {tile}×{tile}-constant pixels")
+    nc = 1 if gray else 3
+
+    out = bytearray(b"\xff\xd8")
+    for tq in range(1 if gray else 2):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, samp_y if i == 0 else 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, PROG_AC)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA)
+    dc_codes = [_canonical_codes(*DC_LUMA)] + (
+        [] if gray else [_canonical_codes(*DC_CHROMA)] * 2
+    )
+    ac_codes = [_canonical_codes(*PROG_AC)] * nc
+
+    # per-component DC grids in MCU-interleave order
+    if gray or subsampling == "444":
+        dcs = [
+            [int(round(8.0 * (p[yy * 8, xx * 8] - 128.0)))
+             for yy in range(th_) for xx in range(tw_)]
+            for p in planes
+        ]
+        units = [(ci, 1, 1, tw_) for ci in range(nc)]
+        mcun, mcux = th_ * tw_, tw_
+    else:
+        # luma 2×2 per MCU (each 16×16 tile constant → 4 equal blocks)
+        dcs = [
+            [int(round(8.0 * (planes[0][(yy // 2) * 16, (xx // 2) * 16] - 128.0)))
+             for yy in range(th_ * 2) for xx in range(tw_ * 2)],
+            [int(round(8.0 * (planes[1][yy * 16, xx * 16] - 128.0)))
+             for yy in range(th_) for xx in range(tw_)],
+            [int(round(8.0 * (planes[2][yy * 16, xx * 16] - 128.0)))
+             for yy in range(th_) for xx in range(tw_)],
+        ]
+        units = [(0, 2, 2, tw_ * 2), (1, 1, 1, tw_), (2, 1, 1, tw_)]
+        mcun, mcux = th_ * tw_, tw_
+
+    # interleaved DC first scan
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for mcu in range(mcun):
+        my, mx = divmod(mcu, mcux)
+        for ci, chh, cv, gw in units:
+            for bv in range(cv):
+                for bh in range(chh):
+                    d = dcs[ci][(my * cv + bv) * gw + mx * chh + bh] >> dc_al
+                    diff = d - pred[ci]
+                    pred[ci] = d
+                    s = _category(diff)
+                    code, ln = dc_codes[ci][s]
+                    wtr.write(code, ln)
+                    if s:
+                        amp = diff if diff >= 0 else diff + (1 << s) - 1
+                        wtr.write(amp & ((1 << s) - 1), s)
+    spec = [(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)]
+    out += _sos_segment(spec, 0, 0, 0, dc_al) + wtr.flush()
+    # interleaved DC refinement scans
+    for a in range(dc_al - 1, -1, -1):
+        wtr = _BitWriter()
+        for mcu in range(mcun):
+            my, mx = divmod(mcu, mcux)
+            for ci, chh, cv, gw in units:
+                for bv in range(cv):
+                    for bh in range(chh):
+                        d = dcs[ci][(my * cv + bv) * gw + mx * chh + bh]
+                        wtr.write((d >> a) & 1, 1)
+        out += _sos_segment(spec, 0, 0, a + 1, a) + wtr.flush()
+    # one all-EOB AC scan per component (all AC coefficients are zero)
+    for ci in range(nc):
+        wtr = _BitWriter()
+        acw = _ProgACWriter(wtr, ac_codes[ci])
+        for _ in range(len(dcs[ci])):
+            acw.eob_block([])
+        acw.flush()
+        out += _sos_segment([(ci + 1, 0, 0)], 1, 63, 0, 0)
+        out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -534,8 +534,9 @@ def test_jpeg_codec_and_mjpeg_avi(spark):
     """Baseline JPEG codec (pure numpy: markers, canonical Huffman, DC
     prediction, byte stuffing, dequant, IDCT, YCbCr): block-constant
     grayscale fixtures decode BIT-EXACTLY, color within the YCbCr rounding
-    bound; progressive streams are rejected by SOF marker. MJPEG-in-AVI
-    then decodes end-to-end through sample_frames(fake=False)."""
+    bound; lossless/arithmetic streams are rejected by SOF marker (and a
+    baseline stream mislabeled progressive fails its scan-script check).
+    MJPEG-in-AVI then decodes end-to-end through sample_frames(fake=False)."""
     import hashlib
 
     import numpy as np
@@ -567,8 +568,11 @@ def test_jpeg_codec_and_mjpeg_avi(spark):
 
     bad = bytearray(jpegs[0])
     i = bad.find(b"\xff\xc0")
-    bad[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="0xC2"):
+    bad[i + 1] = 0xC3  # lossless sequential — genuinely out of scope
+    with pytest.raises(NotImplementedError, match="0xC3"):
+        decode_jpeg(bytes(bad))
+    bad[i + 1] = 0xC2  # baseline scan script is invalid as progressive
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(bad))
 
     # a truncated scan surfaces as the codec's ValueError contract, never a
@@ -716,6 +720,73 @@ def test_audio_float_g711_extensible():
     )
     m, pcm = decode_wav(_wav_container(fmt_body, codes.tobytes()))
     assert m["tag"] == 7 and np.array_equal(pcm.ravel(), _ULAW[codes])
+
+
+def test_jpeg_progressive():
+    """Progressive JPEG (T.81 Annex G): coefficient-level grayscale
+    fixtures exercise DC successive approximation, per-band AC first
+    scans (ZRL, cross-block EOB runs), and AC refinement scans with
+    interleaved correction bits — decoded output must equal the closed
+    numpy form (dezigzag → IDCT → +128) of the SAME coefficients.
+    Interleaved color progressive (4:4:4 and 4:2:0 MCU order) must decode
+    identically to its baseline spelling."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.jpegcodec import (
+        ZIGZAG,
+        _idct_matrix,
+        decode_jpeg,
+        encode_jpeg_blocks,
+        encode_jpeg_progressive_blocks,
+        encode_jpeg_progressive_gray,
+    )
+
+    def expected_gray(coefs, h, w):
+        m = _idct_matrix()
+        dq = np.zeros((len(coefs), 64))
+        dq[:, ZIGZAG] = np.asarray(coefs, dtype=np.float64)
+        px = (m.T @ dq.reshape(-1, 8, 8) @ m) + 128.0
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+        plane = (
+            px.reshape(mcuy, mcux, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(mcuy * 8, mcux * 8)
+        )
+        return np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+    rng = np.random.default_rng(41)
+    h, w = 24, 32  # 3×4 = 12 blocks
+    n = 12
+    coefs = np.zeros((n, 64), dtype=np.int64)
+    coefs[:, 0] = rng.integers(-400, 401, n)  # DC
+    # sparse ACs: low band, a far position (forces ZRL), magnitude-1
+    # values that only appear during refinement, negatives throughout
+    for b in range(n):
+        if b % 4 == 0:
+            continue  # all-zero-AC blocks → cross-block EOB runs
+        for k in rng.choice(np.arange(1, 10), size=3, replace=False):
+            coefs[b, k] = int(rng.integers(-31, 32)) or 5
+        coefs[b, 40 + b % 20] = int(rng.integers(-3, 4)) or -1
+        coefs[b, 1 + b % 5] = [1, -1, 3, -2, 1][b % 5]
+
+    for kwargs in (
+        {},  # default script: dc_al=1, bands (1,5)(6,63), ac_al=1
+        {"dc_al": 2, "ac_bands": ((1, 3), (4, 20), (21, 63)), "ac_al": 2},
+        {"dc_al": 0, "ac_bands": ((1, 63),), "ac_al": 0},  # no refinement
+    ):
+        jb = encode_jpeg_progressive_gray(coefs, h, w, **kwargs)
+        assert np.array_equal(decode_jpeg(jb), expected_gray(coefs, h, w)), kwargs
+
+    # interleaved color progressive == its baseline spelling, exactly
+    for sub, tile in (("444", 8), ("420", 16)):
+        img = np.repeat(
+            np.repeat(rng.integers(0, 256, (2, 3, 3)), tile, 0), tile, 1
+        ).astype(np.uint8)
+        prog = decode_jpeg(encode_jpeg_progressive_blocks(img, sub, dc_al=1))
+        base = decode_jpeg(encode_jpeg_blocks(img, sub))
+        assert np.array_equal(prog, base), sub
+    # grayscale block-constant progressive is bit-exact
+    g = np.repeat(np.repeat(rng.integers(0, 256, (3, 4)), 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive_blocks(g)), g)
 
 
 def test_jpeg_restart_markers():
