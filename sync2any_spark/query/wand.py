@@ -685,8 +685,7 @@ class IndexSearcher:
             full = futs[0].result()
             for f in futs[1:]:
                 full += f.result()
-            uniq = np.flatnonzero(full)
-            return self._topk_sorted(uniq + lo, full[uniq], k)
+            return self._topk_dense(full, lo, k)
         ids = np.concatenate([p[0] for p in parts])
         contrib = np.concatenate([p[1] for p in parts])
         uniq, scores = _group_sum(ids, contrib)
@@ -704,6 +703,29 @@ class IndexSearcher:
         else:
             uniq, scores = _group_sum(ids, contrib)
         return self._topk_sorted(uniq, scores, k)
+
+    def _topk_dense(
+        self, full: np.ndarray, lo: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Top-k straight off a DENSE span-offset score array (the
+        span-bincount merge output): one partition over the span finds the
+        kth score, one comparison collects candidates — no full
+        flatnonzero + gather of every matched doc (a hot 2-term query
+        matches ~80% of the corpus; materializing those ids cost two extra
+        span-sized passes). BM25 contributions are strictly positive, so a
+        zero cell is "no match" and the kth-score cut can only be crossed
+        by real matches; a zero kth (fewer than k matches) falls back to
+        the sparse path."""
+        n = full.size
+        if n == 0:
+            return []
+        if k < n:
+            kth = np.partition(full, n - k)[n - k]
+            if kth > 0.0:
+                cand = np.flatnonzero(full >= kth)
+                return self._topk_sorted(cand + lo, full[cand], k)
+        uniq = np.flatnonzero(full)
+        return self._topk_sorted(uniq + lo, full[uniq], k)
 
     def _topk_sorted(
         self, uniq: np.ndarray, scores: np.ndarray, k: int
