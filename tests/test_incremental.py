@@ -370,3 +370,60 @@ def test_maybe_compact_policy(spark, transcripts_sf0001, tmp_path_factory):
     key_old = {r.doc_id: (r.conv_id, r.turn_idx) for r in live_docs_pdf.itertuples(index=False)}
     want = live.topk("ok", 10)
     assert [key_new[d] for d, _ in hits] == [key_old[d] for d, _ in want]
+
+
+def test_increments_on_force_merged_base(
+    spark, transcripts_sf0001, increments, tmp_path_factory
+):
+    """Interaction of the two round-4 layouts: increments applied ON TOP
+    of a force-merged base (meta['postings_dir'] redirect) must behave
+    exactly like increments on the original layout — same live view, same
+    rankings on every path, and a subsequent compact works. This is the
+    real ES lifecycle: bulk index → _forcemerge → keep upserting."""
+    from sync2any_spark.index.builder import force_merge_postings, read_index_meta
+    from sync2any_spark.query.serving import LocalSearcher
+
+    d = str(tmp_path_factory.mktemp("idx_fm_inc"))
+    build_index(spark, transcripts_sf0001, d, resume=False, **PARAMS)
+    fm = force_merge_postings(spark, d)
+    assert read_index_meta(d)["postings_dir"] == fm["out_dir"]
+
+    summary = apply_increments(spark, d, increments)
+    assert summary["new_docs"] > 0 and summary["tombstones"] > 0
+
+    # reference: the same increments applied to a NON-force-merged base
+    ref = str(tmp_path_factory.mktemp("idx_plain_inc"))
+    build_index(spark, transcripts_sf0001, ref, resume=False, **PARAMS)
+    apply_increments(spark, ref, increments)
+
+    a = IndexSearcher(spark, d)
+    b = IndexSearcher(spark, ref)
+    local = LocalSearcher(d)
+    for q in QUERIES:
+        ra, rb = a.search(q, 10), b.search(q, 10)
+        assert [x[0] for x in ra] == [x[0] for x in rb], q
+        for (_, sa), (_, sb) in zip(ra, rb):
+            assert sa == pytest.approx(sb, rel=1e-12), q
+        rl = local.search(q, 10)
+        assert [x[0] for x in rl] == [x[0] for x in ra], q
+
+    # live view identical
+    lv_a = live_docs(spark, d).select("conv_id", "turn_idx", "text")
+    lv_b = live_docs(spark, ref).select("conv_id", "turn_idx", "text")
+    assert lv_a.exceptAll(lv_b).count() == 0 and lv_b.exceptAll(lv_a).count() == 0
+
+    # compact still works from the redirected layout (doc ids re-densify,
+    # so compare ranks via (conv_id, turn_idx) keys)
+    live = live_docs(spark, d).select("doc_id", "conv_id", "turn_idx").toPandas()
+    key_old = {r.doc_id: (r.conv_id, r.turn_idx) for r in live.itertuples(index=False)}
+    cd = str(tmp_path_factory.mktemp("idx_fm_inc_compact"))
+    compact(spark, d, cd)
+    c = IndexSearcher(spark, cd)
+    docs_new = spark.read.parquet(f"{cd}/docs").toPandas()
+    key_new = {
+        r.doc_id: (r.conv_id, r.turn_idx) for r in docs_new.itertuples(index=False)
+    }
+    for q in QUERIES:
+        got = [(key_new[x], s) for x, s in c.search(q, 10)]
+        want = [(key_old[x], s) for x, s in a.search(q, 10)]
+        assert [g[0] for g in got] == [w[0] for w in want], q
