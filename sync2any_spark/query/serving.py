@@ -32,6 +32,12 @@ BLOCK_COLS = [
 ]
 
 
+# Σ-postings threshold above which a serving-node query scores
+# slice-parallel on the shared pool (below it, pool dispatch costs more
+# than it saves — light queries are a few hundred µs sequential)
+_PAR_SERVE_POSTINGS = int(os.environ.get("SPARK_GRAFT_PAR_SERVE_POSTINGS", "200000"))
+
+
 def _topk(uniq: np.ndarray, scores: np.ndarray, k: int) -> "list[tuple[int, float]]":
     """Exact top-k with the engine-wide tie-break (score desc, doc asc)."""
     if k < len(uniq):
@@ -436,6 +442,9 @@ class LocalSearcher:
         return ids, contrib
 
     def _vectorized(self, groups, k: int) -> "list[tuple[int, float]]":
+        total = sum(int(g["n_docs"].sum()) for _, g in groups)
+        if total >= _PAR_SERVE_POSTINGS:
+            return self._vectorized_parallel(groups, k)
         ids, contrib = self._partials(groups)
         if ids.size == 0:
             return []
@@ -446,6 +455,73 @@ class LocalSearcher:
             from .wand import _group_sum
 
             uniq, scores = _group_sum(ids, contrib)
+        return _topk(uniq, scores, k)
+
+    def _vectorized_parallel(self, groups, k: int) -> "list[tuple[int, float]]":
+        """Hot-query leg (Σ postings ≥ ``_PAR_SERVE_POSTINGS``): each
+        term's block rows split into slices scored on the shared thread
+        pool (numpy releases the GIL in decode/contrib), then the per-doc
+        sums merge via per-thread span-bincounts into the dense-span
+        top-k — the same shape as the driver path's
+        ``_vectorized_topk_arrow``, over the RAM-resident pandas blocks.
+        Rank-identical to the sequential leg (same decode, same merge
+        arithmetic)."""
+        from .wand import (
+            _SCORE_THREADS,
+            _alive_mask,
+            _group_sum,
+            _score_pool,
+            topk_dense,
+        )
+
+        deleted = self.deleted if self.deleted.size else None
+
+        def run(w, sl):
+            ids, tfs, dls = decode_block_batch(
+                sl["doc_ids"], sl["tfs"], sl["dls"], sl["n_docs"].to_numpy()
+            )
+            contrib = bm25_contrib(w, tfs, dls, self.avgdl)
+            if deleted is not None:
+                alive = _alive_mask(deleted, ids)
+                ids, contrib = ids[alive], contrib[alive]
+            return ids, contrib
+
+        futs = []
+        for term, g in groups:
+            df = self._df_of(term, g)
+            if df <= 0:
+                continue
+            w = idf(self.n_docs, df)
+            n = len(g)
+            t = min(_SCORE_THREADS, max(1, n))
+            cuts = [i * n // t for i in range(t + 1)]
+            for i in range(t):
+                sl = g.iloc[cuts[i] : cuts[i + 1]]
+                if len(sl):
+                    futs.append(_score_pool().submit(run, w, sl))
+        parts = [f.result() for f in futs]
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return []
+        lo = min(int(p[0].min()) for p in parts)
+        hi = max(int(p[0].max()) for p in parts)
+        span = hi - lo + 1
+        total = sum(p[0].size for p in parts)
+        if span <= 4 * total:
+            futs = [
+                _score_pool().submit(
+                    np.bincount, p[0] - lo, weights=p[1], minlength=span
+                )
+                for p in parts
+            ]
+            full = futs[0].result()
+            for f in futs[1:]:
+                full += f.result()
+            return topk_dense(full, lo, k)
+        uniq, scores = _group_sum(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
         return _topk(uniq, scores, k)
 
     def _bmw(self, groups, k: int) -> "list[tuple[int, float]]":

@@ -296,6 +296,42 @@ ROUTE_BUDGET = int(os.environ.get("SPARK_GRAFT_ROUTE_BUDGET", 10_000_000))
 # decode+score passes of hot-term queries
 _PARALLEL_BLOCKS = 2048
 _SCORE_THREADS = int(os.environ.get("SPARK_GRAFT_SCORE_THREADS", "4"))
+
+
+def topk_sorted(
+    uniq: np.ndarray, scores: np.ndarray, k: int
+) -> "list[tuple[int, float]]":
+    """Exact top-k with the engine-wide tie-break (score desc, doc_id
+    asc); ``uniq`` need not be sorted but must be duplicate-free."""
+    if k < len(uniq):
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= kth)  # boundary ties included
+    else:
+        cand = np.arange(len(uniq))
+    order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def topk_dense(full: np.ndarray, lo: int, k: int) -> "list[tuple[int, float]]":
+    """Top-k straight off a DENSE span-offset score array (the
+    span-bincount merge output): one partition over the span finds the
+    kth score, one comparison collects candidates — no full
+    flatnonzero + gather of every matched doc (a hot 2-term query
+    matches ~80% of the corpus; materializing those ids cost two extra
+    span-sized passes). BM25 contributions are strictly positive, so a
+    zero cell is "no match" and the kth-score cut can only be crossed
+    by real matches; a zero kth (fewer than k matches) falls back to
+    the sparse path."""
+    n = full.size
+    if n == 0:
+        return []
+    if k < n:
+        kth = np.partition(full, n - k)[n - k]
+        if kth > 0.0:
+            cand = np.flatnonzero(full >= kth)
+            return topk_sorted(cand + lo, full[cand], k)
+    uniq = np.flatnonzero(full)
+    return topk_sorted(uniq + lo, full[uniq], k)
 _SCORE_POOL = None
 
 
@@ -707,38 +743,12 @@ class IndexSearcher:
     def _topk_dense(
         self, full: np.ndarray, lo: int, k: int
     ) -> list[tuple[int, float]]:
-        """Top-k straight off a DENSE span-offset score array (the
-        span-bincount merge output): one partition over the span finds the
-        kth score, one comparison collects candidates — no full
-        flatnonzero + gather of every matched doc (a hot 2-term query
-        matches ~80% of the corpus; materializing those ids cost two extra
-        span-sized passes). BM25 contributions are strictly positive, so a
-        zero cell is "no match" and the kth-score cut can only be crossed
-        by real matches; a zero kth (fewer than k matches) falls back to
-        the sparse path."""
-        n = full.size
-        if n == 0:
-            return []
-        if k < n:
-            kth = np.partition(full, n - k)[n - k]
-            if kth > 0.0:
-                cand = np.flatnonzero(full >= kth)
-                return self._topk_sorted(cand + lo, full[cand], k)
-        uniq = np.flatnonzero(full)
-        return self._topk_sorted(uniq + lo, full[uniq], k)
+        return topk_dense(full, lo, k)
 
     def _topk_sorted(
         self, uniq: np.ndarray, scores: np.ndarray, k: int
     ) -> list[tuple[int, float]]:
-        """Exact top-k with the engine-wide tie-break (score desc, doc_id
-        asc); ``uniq`` need not be sorted but must be duplicate-free."""
-        if k < len(uniq):
-            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-            cand = np.flatnonzero(scores >= kth)  # boundary ties included
-        else:
-            cand = np.arange(len(uniq))
-        order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
-        return [(int(uniq[i]), float(scores[i])) for i in order]
+        return topk_sorted(uniq, scores, k)
 
     def _vectorized_topk(
         self, pdf, dfs: dict[str, int], k: int
