@@ -10,10 +10,12 @@ decoder for every WAV shape that needs no codec library:
 - G.711 A-law / µ-law (tags 6/7): 8-bit companded telephony audio,
   expanded to 16-bit linear via the ITU-T G.711 segment formulas
   (256-entry LUTs built from the spec arithmetic, not copied tables)
+- IMA/DVI ADPCM (tag 0x11, mono): 4-bit adaptive-delta blocks expanded
+  with the public IMA step/index tables, 'fact'-chunk trimming
 - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): resolved to the real format via
   the first two bytes of the SubFormat GUID in the fmt extension
 
-Genuinely-compressed formats (ADPCM, MP3-in-WAV, …) raise
+Remaining compressed formats (MS ADPCM, MP3-in-WAV, …) raise
 ``NotImplementedError`` with the format tag — the plug-in point for a
 codec library.
 
@@ -116,26 +118,37 @@ def encode_wav_g711(
 def decode_wav(data: bytes) -> "tuple[dict, np.ndarray]":
     """WAV bytes → ({tag, channels, sample_rate, bits, n_samples},
     (n_samples, channels) samples). Integer PCM and G.711 decode to
-    int32 (G.711 expanded to 16-bit linear); IEEE float decodes to
-    float64. Compressed format tags raise with the tag named.
+    int32 (G.711 expanded to 16-bit linear; IMA ADPCM through the
+    adaptive-delta recurrence); IEEE float decodes to float64. Remaining
+    compressed format tags raise with the tag named.
     WAVE_FORMAT_EXTENSIBLE resolves through its SubFormat GUID."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     pcm = None
+    fact_samples = None
     end = 8 + struct.unpack_from("<I", data, 4)[0]
     while pos + 8 <= min(end, len(data)):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         payload = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload)
+            tag, ch, rate, _br, ba, bits = struct.unpack_from("<HHIIHH", payload)
             if tag == _TAG_EXT and size >= 26:
                 # fmt extension: cbSize(2) validBits(2) channelMask(4)
                 # SubFormat GUID — first two LE bytes are the real tag
                 (tag,) = struct.unpack_from("<H", payload, 24)
-            fmt = {"tag": tag, "channels": ch, "sample_rate": rate, "bits": bits}
+            fmt = {
+                "tag": tag, "channels": ch, "sample_rate": rate,
+                "bits": bits, "block_align": ba,
+            }
+            if tag == 0x11 and size >= 20:  # wSamplesPerBlock extension
+                (fmt["samples_per_block"],) = struct.unpack_from(
+                    "<H", payload, 18
+                )
+        elif cid == b"fact":
+            (fact_samples,) = struct.unpack_from("<I", payload, 0)
         elif cid == b"data":
             pcm = payload
         pos += 8 + size + (size % 2)
@@ -155,6 +168,13 @@ def decode_wav(data: bytes) -> "tuple[dict, np.ndarray]":
     elif tag in (_TAG_ALAW, _TAG_ULAW) and bits == 8:
         lut = _ALAW if tag == _TAG_ALAW else _ULAW
         arr = lut[np.frombuffer(pcm, dtype=np.uint8)]
+    elif tag == 0x11 and bits == 4 and fmt["channels"] == 1:
+        spb = fmt.get(
+            "samples_per_block", (fmt["block_align"] - 4) * 2 + 1
+        )
+        arr = decode_ima_adpcm(pcm, fmt["block_align"], spb)
+        if fact_samples is not None:
+            arr = arr[:fact_samples]  # trim last-block padding
     else:
         raise NotImplementedError(
             f"compressed WAV (format tag {tag}, {bits}-bit) — an audio "
@@ -171,3 +191,142 @@ def decode_wav(data: bytes) -> "tuple[dict, np.ndarray]":
         "n_samples": n,
     }
     return meta, arr
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — the dominant compressed-WAV codec
+# ---------------------------------------------------------------------------
+
+# step-size table (89 entries) and index-adjust table from the public
+# IMA ADPCM specification (DVI/IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", also RFC 3551 §4.5.1)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+_TAG_IMA_ADPCM = 0x11
+
+
+def _ima_decode_nibbles(codes, pred: int, index: int):
+    """Decode a stream of 4-bit IMA codes given the block-header seed
+    (predictor, step index). The recurrence is data-dependent, so it
+    stays a Python loop — blocks are short (spec: ~505 samples) and
+    independent, which is also what makes the format seekable."""
+    out = np.empty(len(codes), dtype=np.int32)
+    steps = _IMA_STEPS
+    adj = _IMA_INDEX_ADJ
+    for i, code in enumerate(codes):
+        step = int(steps[index])
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        out[i] = pred
+        index += int(adj[code & 7])
+        index = 0 if index < 0 else (88 if index > 88 else index)
+    return out, pred, index
+
+
+def decode_ima_adpcm(
+    data: bytes, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """Mono IMA-ADPCM 'data' payload → int32 samples. Each block: 4-byte
+    header (int16 predictor, uint8 step index, reserved) + 4-bit codes,
+    low nibble first; the header sample IS the first output sample."""
+    out = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            break
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = block[2]
+        if index > 88:
+            raise ValueError("corrupt IMA ADPCM block (step index > 88)")
+        nib_bytes = np.frombuffer(block[4:], dtype=np.uint8)
+        codes = np.empty(nib_bytes.size * 2, dtype=np.uint8)
+        codes[0::2] = nib_bytes & 0x0F
+        codes[1::2] = nib_bytes >> 4
+        want = samples_per_block - 1  # header carries sample 0
+        dec, _, _ = _ima_decode_nibbles(codes[:want].tolist(), pred, index)
+        out.append(np.concatenate([[np.int32(pred)], dec]))
+    if not out:
+        return np.empty(0, dtype=np.int32)
+    return np.concatenate(out).astype(np.int32)
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono int16 PCM → IMA-ADPCM WAV (tag 0x11) with the standard
+    quantize-and-track encoder: the encoder runs the SAME predictor
+    recurrence as the decoder, so decode(encode(x)) equals the encoder's
+    own reconstruction bit-for-bit (ADPCM is lossy vs x, deterministic vs
+    the tracked prediction)."""
+    s = np.asarray(samples, dtype=np.int16).ravel().astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    pred, index = 0, 0
+    blocks = []
+    i = 0
+    while i < s.size:
+        chunk = s[i : i + spb]
+        i += spb
+        pred = int(chunk[0])
+        hdr = struct.pack("<hBB", pred, index, 0)
+        codes = []
+        for x in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(x) - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            codes.append(code)
+            dec, pred, index = _ima_decode_nibbles([code], pred, index)
+            pred = int(dec[0])
+        # pad odd nibble counts with zero codes (decoder trims by
+        # samples_per_block)
+        if len(codes) % 2:
+            codes.append(0)
+        # pack: low nibble first
+        nb = bytearray()
+        for j in range(0, len(codes), 2):
+            nb.append((codes[j + 1] << 4) | codes[j])
+        body = hdr + bytes(nb)
+        body += b"\x00" * (block_align - len(body))
+        blocks.append(body)
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHH", _TAG_IMA_ADPCM, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4,
+    ) + struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+    # 'fact' chunk: total decoded sample count — required for compressed
+    # formats (the last block may be padding-filled past the real end)
+    fact = b"fact" + struct.pack("<II", 4, s.size)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -954,14 +954,17 @@ def encode_jpeg_progressive_gray(
     dc_al: int = 1,
     ac_bands: "tuple[tuple[int, int], ...]" = ((1, 5), (6, 63)),
     ac_al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Grayscale progressive JPEG from EXPLICIT quantized coefficients
     (``(n_blocks, 64)`` int array, zigzag order, Q = 1): the fixture has
     full coefficient control, so the expected image is a closed numpy
     form (dezigzag → IDCT → +128) while the bitstream exercises the whole
     Annex G scan machinery — DC first + successive-approximation refines,
-    per-band AC first scans with cross-block EOB runs and ZRL, and AC
-    refinement scans with interleaved correction bits."""
+    per-band AC first scans with cross-block EOB runs and ZRL, AC
+    refinement scans with interleaved correction bits, and (with
+    ``restart_interval``) RSTn markers inside every scan, which reset the
+    DC predictor / terminate EOB runs at each interval boundary."""
     coefs = np.asarray(coefs, dtype=np.int64)
     mcux, mcuy = (w + 7) // 8, (h + 7) // 8
     n = mcux * mcuy
@@ -977,13 +980,21 @@ def encode_jpeg_progressive_gray(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, PROG_AC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     dc_codes = _canonical_codes(*DC_LUMA)
     ac_codes = _canonical_codes(*PROG_AC)
+    ri = restart_interval
 
     # DC first scan (Al = dc_al): Huffman diffs of the shifted values
     wtr = _BitWriter()
     pred = 0
+    rst = 0
     for b in range(n):
+        if ri and b and b % ri == 0:
+            wtr.restart(rst)
+            rst += 1
+            pred = 0
         d = int(coefs[b, 0]) >> dc_al
         diff = d - pred
         pred = d
@@ -997,14 +1008,23 @@ def encode_jpeg_progressive_gray(
     # DC refinement scans: one raw bit per block per level
     for a in range(dc_al - 1, -1, -1):
         wtr = _BitWriter()
+        rst = 0
         for b in range(n):
+            if ri and b and b % ri == 0:
+                wtr.restart(rst)
+                rst += 1
             wtr.write((int(coefs[b, 0]) >> a) & 1, 1)
         out += _sos_segment([(1, 0, 0)], 0, 0, a + 1, a) + wtr.flush()
     # AC first scans per band
     for ss, se in bands:
         wtr = _BitWriter()
         acw = _ProgACWriter(wtr, ac_codes)
+        rst = 0
         for b in range(n):
+            if ri and b and b % ri == 0:
+                acw.flush()  # an EOB run cannot span a restart interval
+                wtr.restart(rst)
+                rst += 1
             _emit_ac_first(acw, wtr, ac_codes, coefs[b], ss, se, ac_al)
         acw.flush()
         out += _sos_segment([(1, 0, 0)], ss, se, 0, ac_al) + wtr.flush()
@@ -1013,7 +1033,12 @@ def encode_jpeg_progressive_gray(
         for a in range(ac_al - 1, -1, -1):
             wtr = _BitWriter()
             acw = _ProgACWriter(wtr, ac_codes)
+            rst = 0
             for b in range(n):
+                if ri and b and b % ri == 0:
+                    acw.flush()
+                    wtr.restart(rst)
+                    rst += 1
                 _emit_ac_refine(acw, wtr, ac_codes, coefs[b], ss, se, a)
             acw.flush()
             out += _sos_segment([(1, 0, 0)], ss, se, a + 1, a) + wtr.flush()

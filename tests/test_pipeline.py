@@ -722,6 +722,50 @@ def test_audio_float_g711_extensible():
     assert m["tag"] == 7 and np.array_equal(pcm.ravel(), _ULAW[codes])
 
 
+def test_audio_ima_adpcm():
+    """IMA/DVI ADPCM (WAV tag 0x11): the adaptive-delta recurrence is
+    cross-checked BIT-IDENTICAL against the stdlib's independent DVI
+    implementation (audioop, same public spec); the WAV container
+    roundtrip tracks a smooth signal within quantizer error, carries
+    block-header samples verbatim, and trims last-block padding via the
+    'fact' chunk."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.audiocodec import (
+        _ima_decode_nibbles,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(5)
+    try:  # removed in Python 3.13 — the cross-check is best-effort
+        import audioop
+
+        codes = rng.integers(0, 16, 400).tolist()
+        mine, _, _ = _ima_decode_nibbles(codes, 0, 0)
+        pk = bytes(
+            (codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2)
+        )
+        lin, _ = audioop.adpcm2lin(pk, 2, (0, 0))
+        ref = np.frombuffer(lin, dtype="<i2").astype(np.int32)
+        assert np.array_equal(mine, ref)
+    except ImportError:
+        pass
+
+    n = 1200  # NOT a multiple of samples-per-block → exercises fact trim
+    t = np.arange(n)
+    x = (3000 * np.sin(t / 20) + 500 * np.sin(t / 7)).astype(np.int16)
+    wav = encode_wav_ima_adpcm(x, 16000, block_align=64)
+    meta, out = decode_wav(wav)
+    out = out.ravel()
+    assert meta["tag"] == 0x11 and meta["sample_rate"] == 16000
+    assert out.size == n
+    spb = (64 - 4) * 2 + 1
+    assert np.array_equal(out[::spb], x[::spb].astype(np.int32))
+    err = np.abs(out - x.astype(np.int64))
+    assert err.max() < 2000 and err.mean() < 50
+
+
 def test_jpeg_progressive():
     """Progressive JPEG (T.81 Annex G): coefficient-level grayscale
     fixtures exercise DC successive approximation, per-band AC first
@@ -787,6 +831,14 @@ def test_jpeg_progressive():
     # grayscale block-constant progressive is bit-exact
     g = np.repeat(np.repeat(rng.integers(0, 256, (3, 4)), 8, 0), 8, 1).astype(np.uint8)
     assert np.array_equal(decode_jpeg(encode_jpeg_progressive_blocks(g)), g)
+
+    # restart markers inside progressive scans: RSTn boundaries reset the
+    # DC predictor and terminate EOB runs in every scan type, and the
+    # decode is identical across interval choices
+    want = expected_gray(coefs, h, w)
+    for ri in (1, 3, 5):
+        jb = encode_jpeg_progressive_gray(coefs, h, w, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(jb), want), ri
 
 
 def test_jpeg_restart_markers():
