@@ -86,7 +86,15 @@ class ShardedSearcher:
         )
 
     def search(self, query: str, k: int = 10) -> "list[tuple[int, float]]":
-        parts = [s.partial_scores(query) for s in self.shards]
+        # scatter in parallel — in a real deployment these are concurrent
+        # RPCs to separate nodes; in-process, the shards' decode/score
+        # kernels release the GIL, so threads genuinely overlap
+        from .wand import _score_pool
+
+        futs = [
+            _score_pool().submit(s.partial_scores, query) for s in self.shards
+        ]
+        parts = [f.result() for f in futs]
         parts = [(i, c) for i, c in parts if i.size]
         if not parts:
             return []
