@@ -12,10 +12,12 @@ decoder for every WAV shape that needs no codec library:
   (256-entry LUTs built from the spec arithmetic, not copied tables)
 - IMA/DVI ADPCM (tag 0x11, mono): 4-bit adaptive-delta blocks expanded
   with the public IMA step/index tables, 'fact'-chunk trimming
+- MS ADPCM (tag 0x02, mono): 7-coefficient predictor blocks with
+  adaptive delta per the public MS specification
 - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): resolved to the real format via
   the first two bytes of the SubFormat GUID in the fmt extension
 
-Remaining compressed formats (MS ADPCM, MP3-in-WAV, …) raise
+Formats that genuinely need a codec library (MP3-in-WAV, …) raise
 ``NotImplementedError`` with the format tag — the plug-in point for a
 codec library.
 
@@ -175,6 +177,10 @@ def decode_wav(data: bytes) -> "tuple[dict, np.ndarray]":
         arr = decode_ima_adpcm(pcm, fmt["block_align"], spb)
         if fact_samples is not None:
             arr = arr[:fact_samples]  # trim last-block padding
+    elif tag == 0x02 and bits == 4 and fmt["channels"] == 1:
+        arr = decode_ms_adpcm(pcm, fmt["block_align"])
+        if fact_samples is not None:
+            arr = arr[:fact_samples]
     else:
         raise NotImplementedError(
             f"compressed WAV (format tag {tag}, {bits}-bit) — an audio "
@@ -322,6 +328,115 @@ def encode_wav_ima_adpcm(
     # 'fact' chunk: total decoded sample count — required for compressed
     # formats (the last block may be padding-filled past the real end)
     fact = b"fact" + struct.pack("<II", 4, s.size)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format tag 0x02) — the other Windows-era compressed WAV
+# ---------------------------------------------------------------------------
+
+# the 7 built-in predictor coefficient pairs and the delta adaptation
+# table from the public MS ADPCM specification (Multimedia Programming
+# Interface and Data Specifications / mmreg)
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+_TAG_MS_ADPCM = 0x02
+
+
+def _ms_clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def decode_ms_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """Mono MS-ADPCM 'data' payload → int32 samples. Each block: 7-byte
+    header (predictor index, int16 initial delta, int16 sample1, int16
+    sample2) then 4-bit signed codes, HIGH nibble first; the two header
+    samples are emitted verbatim (oldest first) before the coded ones."""
+    out = []
+    for off in range(0, len(data) - 6, block_align):
+        block = data[off : off + block_align]
+        if len(block) < 7:
+            break
+        pidx = block[0]
+        if pidx >= len(_MS_COEFS):
+            raise ValueError("corrupt MS ADPCM block (predictor index)")
+        c1, c2 = _MS_COEFS[pidx]
+        delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+        samples = [s2, s1]
+        for byte in block[7:]:
+            for code in ((byte >> 4), (byte & 0x0F)):
+                signed = code - 16 if code >= 8 else code
+                pred = (s1 * c1 + s2 * c2) >> 8
+                s = _ms_clamp16(pred + signed * delta)
+                samples.append(s)
+                s2, s1 = s1, s
+                delta = max(16, (_MS_ADAPT[code] * delta) >> 8)
+        out.append(np.array(samples, dtype=np.int32))
+    if not out:
+        return np.empty(0, dtype=np.int32)
+    return np.concatenate(out)
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256,
+    predictor: int = 0, initial_delta: int = 32,
+) -> bytes:
+    """Mono int16 PCM → MS-ADPCM WAV (tag 0x02), fixed predictor pair,
+    tracked-prediction encoder: the encoder runs the decoder's exact
+    recurrence, so decode(encode(x)) equals the tracked reconstruction
+    bit-for-bit; the two header samples per block are verbatim."""
+    s = np.asarray(samples, dtype=np.int16).ravel().astype(np.int64)
+    spb = (block_align - 7) * 2 + 2
+    c1, c2 = _MS_COEFS[predictor]
+    blocks = []
+    total = 0
+    i = 0
+    while i < s.size:
+        chunk = s[i : i + spb]
+        i += spb
+        s2 = int(chunk[0])
+        s1 = int(chunk[1]) if chunk.size > 1 else 0
+        delta = initial_delta
+        hdr = bytes([predictor]) + struct.pack("<hhh", delta, s1, s2)
+        codes = []
+        for x in chunk[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            q = (int(x) - pred) // max(delta, 1)
+            q = -8 if q < -8 else (7 if q > 7 else q)
+            code = q + 16 if q < 0 else q
+            dec = _ms_clamp16(pred + q * delta)
+            codes.append(code)
+            s2, s1 = s1, dec
+            delta = max(16, (_MS_ADAPT[code] * delta) >> 8)
+        if len(codes) % 2:
+            codes.append(0)
+        nb = bytes(
+            (codes[j] << 4) | codes[j + 1] for j in range(0, len(codes), 2)
+        )
+        body = hdr + nb
+        body += b"\x00" * (block_align - len(body))
+        blocks.append(body)
+        total += chunk.size
+    data = b"".join(blocks)
+    # fmt extension: cbSize (2+2+7*4 = 32), wSamplesPerBlock, wNumCoef,
+    # 7 coefficient pairs
+    ext = struct.pack("<HHH", 32, spb, len(_MS_COEFS))
+    for a, b in _MS_COEFS:
+        ext += struct.pack("<hh", a, b)
+    fmt = struct.pack(
+        "<HHIIHH", _TAG_MS_ADPCM, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4,
+    ) + ext
+    fact = b"fact" + struct.pack("<II", 4, total)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt

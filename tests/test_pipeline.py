@@ -647,8 +647,8 @@ def test_audio_codec_and_features(spark):
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"never a wav")
     bad = bytearray(encode_wav(mono))
-    bad[bad.find(b"fmt ") + 8] = 2  # MS-ADPCM tag — genuinely compressed
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    bad[bad.find(b"fmt ") + 8] = 0x55  # MP3-in-WAV — library-bound
+    with pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav(bytes(bad))
 
     ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
@@ -766,6 +766,37 @@ def test_audio_ima_adpcm():
     assert err.max() < 2000 and err.mean() < 50
 
 
+def test_audio_ms_adpcm():
+    """MS ADPCM (WAV tag 0x02): 7-coefficient predictor blocks with
+    adaptive delta. The tracked-prediction encoder mirrors the decoder's
+    recurrence, so the container roundtrip is deterministic, each block's
+    two header samples are verbatim, the 'fact' chunk trims last-block
+    padding, and a smooth signal tracks within quantizer error."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.audiocodec import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    n = 1500  # not a multiple of samples-per-block
+    t = np.arange(n)
+    x = (2500 * np.sin(t / 25) + 400 * np.sin(t / 9)).astype(np.int16)
+    wav = encode_wav_ms_adpcm(x, 22050, block_align=128)
+    meta, out = decode_wav(wav)
+    out = out.ravel()
+    assert meta["tag"] == 0x02 and meta["sample_rate"] == 22050
+    assert out.size == n
+    spb = (128 - 7) * 2 + 2
+    # the two header samples per block are carried verbatim
+    assert np.array_equal(out[::spb], x[::spb].astype(np.int32))
+    assert np.array_equal(out[1::spb], x[1::spb].astype(np.int32))
+    err = np.abs(out - x.astype(np.int64))
+    assert err.max() < 3000 and err.mean() < 100
+    m2, o2 = decode_wav(wav)
+    assert np.array_equal(out, o2.ravel())
+
+
 def test_jpeg_progressive():
     """Progressive JPEG (T.81 Annex G): coefficient-level grayscale
     fixtures exercise DC successive approximation, per-band AC first
@@ -839,6 +870,65 @@ def test_jpeg_progressive():
     for ri in (1, 3, 5):
         jb = encode_jpeg_progressive_gray(coefs, h, w, restart_interval=ri)
         assert np.array_equal(decode_jpeg(jb), want), ri
+
+
+def test_jpeg_progressive_randomized():
+    """Property test: random sparse coefficient matrices × random scan
+    scripts (band partition, approximation depths, restart intervals)
+    always decode to the closed numpy form. Catches script-dependent
+    bugs a fixed fixture can't (EOB runs straddling odd band edges,
+    refinement order, ZRL at band boundaries)."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.jpegcodec import (
+        ZIGZAG,
+        _idct_matrix,
+        decode_jpeg,
+        encode_jpeg_progressive_gray,
+    )
+
+    def expected(coefs, h, w):
+        m = _idct_matrix()
+        dq = np.zeros((len(coefs), 64))
+        dq[:, ZIGZAG] = np.asarray(coefs, dtype=np.float64)
+        px = (m.T @ dq.reshape(-1, 8, 8) @ m) + 128.0
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+        plane = (
+            px.reshape(mcuy, mcux, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(mcuy * 8, mcux * 8)
+        )
+        return np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+    rng = np.random.default_rng(97)
+    for trial in range(12):
+        mcux, mcuy = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        h, w = mcuy * 8, mcux * 8
+        n = mcux * mcuy
+        coefs = np.zeros((n, 64), dtype=np.int64)
+        coefs[:, 0] = rng.integers(-500, 501, n)
+        # random sparsity: some blocks dense-ish, some empty
+        for b in range(n):
+            nnz = int(rng.integers(0, 12))
+            ks = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+            coefs[b, ks] = rng.integers(-40, 41, nnz)
+        # random band partition of 1..63
+        cuts = sorted(
+            set(rng.integers(2, 63, size=int(rng.integers(0, 3))).tolist())
+        )
+        bounds = [1] + cuts + [64]
+        bands = tuple(
+            (bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)
+        )
+        kwargs = dict(
+            dc_al=int(rng.integers(0, 3)),
+            ac_bands=bands,
+            ac_al=int(rng.integers(0, 3)),
+            restart_interval=int(rng.choice([0, 0, 1, 2, 5])),
+        )
+        jb = encode_jpeg_progressive_gray(coefs, h, w, **kwargs)
+        assert np.array_equal(decode_jpeg(jb), expected(coefs, h, w)), (
+            trial, kwargs,
+        )
 
 
 def test_jpeg_restart_markers():
