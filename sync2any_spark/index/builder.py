@@ -475,6 +475,7 @@ def _write_chunk(
     chunks_dir: str, prefix: str, part_id: int, rows: dict,
     n_rows_docs: int, n_terms: int, t0: float, sum_dl: int = 0,
     wfs=None, n_buckets: "int | None" = None, n_salts: int = 8,
+    span_keys: "tuple | None" = None,
 ) -> pd.DataFrame:
     """Write one SPIMI chunk parquet, then its manifest (data first,
     manifest LAST — the per-partition commit order the fswrite protocol
@@ -549,6 +550,15 @@ def _write_chunk(
         manifest["n_buckets"] = int(n_buckets)
         manifest["n_subs"] = MERGE_SUBSPLIT
         manifest["n_salts"] = int(n_salts)
+    if span_keys is not None:
+        # sorted-source fast path: the sorted span's boundary PKs ride in
+        # the json sidecar so the driver can verify global key disjointness
+        # after the pass (verify_sorted_manifests)
+        fc, ft, lc, lt = span_keys
+        manifest["first_conv"] = fc
+        manifest["first_turn"] = int(ft)
+        manifest["last_conv"] = lc
+        manifest["last_turn"] = int(lt)
     mpath = os.path.join(chunks_dir, f"{prefix}part-{part_id:05d}.manifest.json")
     wfs.write_json(manifest, mpath)
     return ret
@@ -1034,6 +1044,104 @@ def plan_spans(source_path: str, span_mb: int = 8) -> "list[tuple[str, int, int]
     return spans
 
 
+def sorted_span_bases(
+    source_path: str, spans: "list[tuple[str, int, int]]"
+) -> "list[int] | None":
+    """Per-span base doc ids for the SORTED-SOURCE fast path, or None.
+
+    When the source is already globally ordered by ``conv_id`` at row-group
+    granularity (footer min/max stats: ``max_conv(g) <= min_conv(g+1)``
+    across the whole file sequence), the dense ``doc_id`` — the global
+    (conv_id, turn_idx) rank — is simply the global row index: each span's
+    base is the prefix row count from the footers, and a task's local rank
+    within its sorted span completes the id. Cost: the SAME footer walk
+    ``plan_spans`` already paid (no column read, no Spark job) — this
+    replaces the 1–2.6 s driver-side PK-column read that showed up as the
+    anti-scaling ``offsets`` stage in BENCH_r04.
+
+    This is a *precheck*: group-granular conv ordering plus task-side
+    within-span verification (strict (conv, turn) ordering after the local
+    sort) plus the post-pass manifest boundary check (last key of span i <
+    first key of span i+1, see ``verify_sorted_manifests``) together prove
+    the global ranking exactly. Equality of conv stats across a boundary is
+    allowed here — a conversation may straddle row groups; the manifest
+    check settles the turn order at every span boundary.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(source_path):
+        files = sorted(
+            os.path.join(source_path, f)
+            for f in os.listdir(source_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [source_path]
+    prev_max = None
+    group_rows: "dict[tuple[str, int], int]" = {}
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        names = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        } if md.num_row_groups else {}
+        if "conv_id" not in names:
+            return None
+        ci = names["conv_id"]
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode(), mx.decode()
+            if prev_max is not None and mn < prev_max:
+                return None  # overlapping conv ranges — not sorted
+            prev_max = mx
+            group_rows[(path, g)] = rg.num_rows
+    bases, acc = [], 0
+    for path, lo, hi in spans:
+        bases.append(acc)
+        acc += sum(group_rows[(path, g)] for g in range(lo, hi))
+    return bases
+
+
+def _wipe_dir(wfs, path: str) -> None:
+    """Remove every file directly under ``path`` through the WriteFS
+    adapter (fallback-path cleanup; subdirectories are left — the fused
+    build writes flat dirs only)."""
+    from .fswrite import LOCAL
+
+    _wfs = wfs or LOCAL
+    for n in _wfs.listdir(path):
+        try:
+            _wfs.remove(os.path.join(path, n))
+        except (IsADirectoryError, PermissionError, OSError):
+            pass
+
+
+def verify_sorted_manifests(mans: "list[dict]") -> bool:
+    """Post-pass authority for the sorted-source fast path: every committed
+    span manifest carries its sorted span's first/last (conv_id, turn_idx)
+    keys; the global ranking is exact iff consecutive spans' key ranges are
+    disjoint and ascending. Empty spans (no rows) are skipped."""
+    keyed = sorted(
+        (m for m in mans if m.get("first_conv") is not None),
+        key=lambda m: m["partition_id"],
+    )
+    prev = None
+    for m in keyed:
+        first = (m["first_conv"], m["first_turn"])
+        last = (m["last_conv"], m["last_turn"])
+        if prev is not None and first <= prev:
+            return False
+        if last < first:
+            return False
+        prev = last
+    return True
+
+
 def _pin_worklist(chunks_dir: str, names: "list[str]", resume: bool,
                   prefix: str = "", wfs=None) -> bool:
     """Pin the span/file work list under the chunks dir; returns the
@@ -1064,13 +1172,14 @@ def build_segments(
     spark: SparkSession,
     source_path: str,
     index_dir: str,
-    offsets: "pd.Series",
+    offsets: "pd.Series | None",
     resume: bool = True,
     span_mb: int = 8,
     store_positions: bool = False,
     filesystem=None,
     n_buckets: "int | None" = None,
     n_salts: int = 8,
+    span_bases: "list[int] | None" = None,
 ) -> DataFrame:
     """Fused segment build — ONE corpus pass writes docs store + SPIMI chunk.
 
@@ -1086,6 +1195,15 @@ def build_segments(
     (conv_id → first doc id), broadcast to every task. Above
     ``BROADCAST_CONV_LIMIT`` conversations, callers must use the two-pass
     path (``build_docs`` + ``build_chunks_files``) instead.
+
+    ``span_bases`` (from ``sorted_span_bases``) switches to the
+    SORTED-SOURCE fast path: ``doc_id = span_base + local (conv, turn)
+    rank`` — no conversation-offset table at all, no per-row dict map, and
+    no driver-side PK-column read before the pass. Tasks verify strict
+    within-span key ordering (duplicates raise) and record their boundary
+    keys in the manifest for the driver's global disjointness check. This
+    also drops the broadcast-conversation-table memory bound entirely: the
+    10^9-conversation regime needs only one long per span.
     """
     paths = IndexPaths(index_dir)
     spans = plan_spans(source_path, span_mb)
@@ -1108,8 +1226,11 @@ def build_segments(
                 _wfs0.remove(os.path.join(paths.docs, n))
             except (IsADirectoryError, PermissionError, OSError):
                 pass  # subdirectory or non-file entry — not stale docs data
+    bases = span_bases if span_bases is not None else [-1] * len(spans)
     todo = [
-        (i, p, lo, hi) for i, (p, lo, hi) in enumerate(spans) if i not in done
+        (i, p, lo, hi, bases[i])
+        for i, (p, lo, hi) in enumerate(spans)
+        if i not in done
     ]
     if not todo:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
@@ -1134,13 +1255,38 @@ def build_segments(
             for r in pdf.itertuples(index=False):
                 t0 = time.time()
                 part_id = int(r.part_id)
+                base = int(r.base)
                 pf = pq.ParquetFile(r.path)
                 tbl = pf.read_row_groups(list(range(int(r.lo), int(r.hi))))
                 conv = tbl.column("conv_id").to_pandas()
                 turn = tbl.column("turn_idx").to_numpy().astype(np.int64)
-                doc_ids = conv.map(off).to_numpy(dtype=np.int64) + turn
-                order = np.argsort(doc_ids, kind="stable")
-                doc_ids = doc_ids[order]
+                span_keys = None
+                if base >= 0:
+                    # sorted-source fast path: doc_id = span base + local
+                    # (conv, turn) rank; strict-ordering check catches
+                    # duplicate PKs (the driver verifies span disjointness
+                    # from the manifest boundary keys afterwards)
+                    codes = pd.factorize(conv, sort=True)[0]
+                    order = np.lexsort((turn, codes))
+                    c_s, t_s = codes[order], turn[order]
+                    if len(c_s) > 1 and np.any(
+                        (c_s[1:] == c_s[:-1]) & (t_s[1:] <= t_s[:-1])
+                    ):
+                        raise ValueError(
+                            "sorted-source fast path: duplicate "
+                            "(conv_id, turn_idx) key within span"
+                        )
+                    doc_ids = base + np.arange(len(order), dtype=np.int64)
+                    if len(order):
+                        conv_np = conv.to_numpy()
+                        span_keys = (
+                            str(conv_np[order[0]]), int(t_s[0]),
+                            str(conv_np[order[-1]]), int(t_s[-1]),
+                        )
+                else:
+                    doc_ids = conv.map(off).to_numpy(dtype=np.int64) + turn
+                    order = np.argsort(doc_ids, kind="stable")
+                    doc_ids = doc_ids[order]
                 tbl = tbl.take(order)
                 texts = tbl.column("text").to_pandas()
                 toks = [findall(t.lower()) if t else [] for t in texts]
@@ -1174,12 +1320,12 @@ def build_segments(
                 yield _write_chunk(
                     chunks_dir, "", part_id, rows, len(doc_ids), n_terms,
                     t0, sum_dl=int(dls.sum()), wfs=wfs, n_buckets=n_buckets,
-                    n_salts=n_salts,
+                    n_salts=n_salts, span_keys=span_keys,
                 )
 
     rdd = spark.sparkContext.parallelize(todo, len(todo))
     flist = spark.createDataFrame(
-        rdd, "part_id int, path string, lo int, hi int"
+        rdd, "part_id int, path string, lo int, hi int, base long"
     )
     return flist.mapInPandas(kern, schema=MANIFEST_SCHEMA)
 
@@ -2105,30 +2251,65 @@ def build_index(
     try:
         fused = False
         if tokenizer == "files" and source_path:
-            t0 = time.time()
             # the fused pass can't split below row-group granularity: when
             # the source has fewer spans than the requested parallelism
             # (tiny corpora / coarse row groups), the two-pass path fans out
             # with one shuffle instead
-            if len(plan_spans(source_path, span_mb)) >= n_partitions:
-                offsets = _conv_offsets_driver(transcripts, source_path=source_path)
-                fused = offsets is not None
-            if fused:
+            t0 = time.time()
+            spans = plan_spans(source_path, span_mb)
+            strategies: "list[tuple[str, list | None]]" = []
+            if len(spans) >= n_partitions:
+                bases = sorted_span_bases(source_path, spans)
+                if bases is not None:
+                    # footer stats prove group-granular conv ordering: no
+                    # PK-column read at all (kills the anti-scaling
+                    # ``offsets`` stage of BENCH_r04: 0.97/1.27/2.57 s at
+                    # local[2/8/32] → footer-walk milliseconds)
+                    strategies.append(("sorted", bases))
+                strategies.append(("conv_offsets", None))
+            for strat, bases_i in strategies:
+                if strat == "conv_offsets":
+                    offsets = _conv_offsets_driver(
+                        transcripts, source_path=source_path
+                    )
+                    if offsets is None:
+                        break  # non-dense PKs → two-pass path below
+                else:
+                    offsets = None
                 metrics.append(("offsets", "wall_s", time.time() - t0))
                 t2 = time.time()
-                manifest = build_segments(
-                    spark, source_path, index_dir, offsets,
-                    resume=resume, span_mb=span_mb,
-                    store_positions=store_positions, filesystem=filesystem,
-                    n_buckets=n_buckets, n_salts=n_salts,
-                )
-                built = manifest.count()  # action: the fused corpus pass
+                try:
+                    manifest = build_segments(
+                        spark, source_path, index_dir, offsets,
+                        resume=resume, span_mb=span_mb,
+                        store_positions=store_positions, filesystem=filesystem,
+                        n_buckets=n_buckets, n_salts=n_salts,
+                        span_bases=bases_i if strat == "sorted" else None,
+                    )
+                    built = manifest.count()  # action: the fused corpus pass
+                    mans = read_manifests(paths.chunks, wfs=filesystem)
+                    if strat == "sorted" and not verify_sorted_manifests(mans):
+                        raise ValueError(
+                            "sorted-source fast path: span key ranges overlap"
+                        )
+                except Exception:
+                    if strat != "sorted":
+                        raise
+                    # the footer precheck was wrong about the data (within-
+                    # span duplicate or cross-span overlap): wipe the partial
+                    # outputs and retry with the conversation-offset table
+                    _wipe_dir(filesystem, paths.chunks)
+                    _wipe_dir(filesystem, paths.docs)
+                    t0 = time.time()
+                    continue
+                fused = True
+                break
+            if fused:
                 metrics.append(("spimi", "wall_s", time.time() - t2))
                 metrics.append(("spimi", "partitions_built", float(built)))
                 metrics.append(("spimi", "fused", 1.0))
 
                 t1 = time.time()
-                mans = read_manifests(paths.chunks, wfs=filesystem)
                 n_docs = sum(m["rows"] for m in mans)
                 total_tokens = sum(m.get("sum_dl", 0) for m in mans)
                 avgdl = float(total_tokens) / n_docs if n_docs else 0.0
