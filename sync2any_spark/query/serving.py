@@ -49,6 +49,87 @@ def _topk(uniq: np.ndarray, scores: np.ndarray, k: int) -> "list[tuple[int, floa
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
 
+class _ReplicaGroup:
+    """R identical copies of one shard (same bucket set), with coordinator-
+    side failover — the ES ``number_of_replicas`` deployment shape
+    (reference: ``load/impl/EsLoadServiceImpl.java:198-201``, 8 shards × 2
+    replicas). Each call round-robins across LIVE replicas (load spreading,
+    like ES adaptive replica selection's uniform base case) and retries the
+    next copy when a replica is down (``up = False``) or raises
+    ``ConnectionError`` mid-call; only when EVERY copy of the group is
+    unreachable does the query fail — exactly ES's red-index behavior.
+
+    Exposes the LocalSearcher surface the coordinator uses, so a
+    ``ShardedSearcher`` built over replica groups runs the identical
+    partial-sum / phrase-exchange protocols with zero coordinator changes.
+    """
+
+    def __init__(self, replicas: "list[LocalSearcher]") -> None:
+        if not replicas:
+            raise ValueError("replica group needs at least one copy")
+        self.replicas = replicas
+        self._rr = 0
+
+    def _call(self, method: str, *args):
+        n = len(self.replicas)
+        start = self._rr
+        self._rr = (start + 1) % n  # benign race: any value load-balances
+        last: "Exception | None" = None
+        for i in range(n):
+            r = self.replicas[(start + i) % n]
+            if not getattr(r, "up", True):
+                continue
+            try:
+                return getattr(r, method)(*args)
+            except ConnectionError as e:  # node died mid-call → next copy
+                last = e
+        raise ConnectionError(
+            f"all {n} replicas of shard group down"
+        ) from last
+
+    def _first_live(self) -> "LocalSearcher":
+        for r in self.replicas:
+            if getattr(r, "up", True):
+                return r
+        raise ConnectionError(f"all {len(self.replicas)} replicas down")
+
+    # coordinator-facing API (ShardedSearcher.search / search_phrase)
+    def partial_scores(self, query: str):
+        return self._call("partial_scores", query)
+
+    def phrase_term_docs(self, term: str):
+        return self._call("phrase_term_docs", term)
+
+    def phrase_term_slots(self, term: str, cand):
+        return self._call("phrase_term_slots", term, cand)
+
+    def _term_blocks(self, term: str):
+        return self._call("_term_blocks", term)
+
+    def _df_of(self, term: str, g) -> int:
+        return self._first_live()._df_of(term, g)
+
+    @property
+    def meta(self):
+        return self._first_live().meta
+
+    @property
+    def buckets(self):
+        return self._first_live().buckets
+
+    @property
+    def deleted(self):
+        return self._first_live().deleted
+
+    @property
+    def n_docs(self):
+        return self._first_live().n_docs
+
+    @property
+    def avgdl(self):
+        return self._first_live().avgdl
+
+
 class ShardedSearcher:
     """Coordinator over bucket-disjoint LocalSearchers — the multi-node
     serving deployment in code: each shard loads ONLY its buckets' postings
@@ -59,9 +140,11 @@ class ShardedSearcher:
     BM25 aggregation, whereas a rank-only merge would drop docs whose score
     splits across shards. Shard fan-out per query is bounded by the query's
     bucket set — a coordinator contacts only the owners of the terms'
-    buckets."""
+    buckets. With ``build_replicated`` each shard is a ``_ReplicaGroup``
+    (R copies, failover), matching the reference's 8-shard × 2-replica ES
+    layout."""
 
-    def __init__(self, shards: "list[LocalSearcher]") -> None:
+    def __init__(self, shards: "list[LocalSearcher] | list[_ReplicaGroup]") -> None:
         self.shards = shards
 
     @classmethod
@@ -80,6 +163,41 @@ class ShardedSearcher:
                     index_dir,
                     with_positions=with_positions,
                     buckets=list(range(s, n_buckets, n_shards)),
+                )
+                for s in range(n_shards)
+            ]
+        )
+
+    @classmethod
+    def build_replicated(
+        cls,
+        index_dir: str,
+        n_shards: int,
+        n_replicas: int = 2,
+        with_positions: bool = False,
+    ) -> "ShardedSearcher":
+        """The full ES deployment shape: ``n_shards`` bucket-disjoint shard
+        groups × ``n_replicas`` copies each (reference ES settings:
+        ``number_of_shards=8, number_of_replicas=2``). In-process every
+        copy is its own LocalSearcher (own RAM-resident blocks — the
+        faithful cost model: a real replica is a full copy on another
+        node). Queries round-robin over a group's live copies and fail over
+        on node loss; results are bit-identical with any single replica of
+        each group alive (tested)."""
+        from ..index.builder import read_index_meta
+
+        n_buckets = int(read_index_meta(index_dir)["n_buckets"])
+        return cls(
+            [
+                _ReplicaGroup(
+                    [
+                        LocalSearcher(
+                            index_dir,
+                            with_positions=with_positions,
+                            buckets=list(range(s, n_buckets, n_shards)),
+                        )
+                        for _ in range(n_replicas)
+                    ]
                 )
                 for s in range(n_shards)
             ]

@@ -316,6 +316,69 @@ def test_sharded_serving_matches_unsharded(spark, index_dir):
             assert gs == pytest.approx(ws, rel=1e-12), q.query_text
 
 
+def test_replicated_serving_failover(spark, index_dir):
+    """Round-5 (r4 VERDICT Next #3): the ES 8-shard × 2-replica layout —
+    each shard group holds R full copies; the coordinator round-robins
+    live copies and fails over on node loss. Dropping one replica of every
+    group MID-query-set must leave results identical to the unsharded
+    node; a replica dying mid-call (ConnectionError) must retry on its
+    sibling; a whole group down must raise."""
+    from sync2any_spark.query.serving import LocalSearcher, ShardedSearcher
+
+    whole = LocalSearcher(index_dir)
+    rep = ShardedSearcher.build_replicated(index_dir, n_shards=3, n_replicas=2)
+    # every copy of a group loaded the same blocks; groups are disjoint
+    for grp in rep.shards:
+        assert len(grp.replicas) == 2
+        assert len(grp.replicas[0]._blocks) == len(grp.replicas[1]._blocks)
+    assert sum(len(g.replicas[0]._blocks) for g in rep.shards) == len(
+        whole._blocks
+    )
+
+    queries = pq.read_table(ensure_queries()).to_pandas()
+
+    def check(q):
+        got = rep.search(q.query_text, int(q.k))
+        want = whole.search(q.query_text, int(q.k))
+        assert [g[0] for g in got] == [w[0] for w in want], q.query_text
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q.query_text
+
+    half = len(queries) // 2
+    for q in queries.iloc[:half].itertuples(index=False):
+        check(q)
+    # node loss mid-query-set: replica 0 of EVERY group goes dark
+    for grp in rep.shards:
+        grp.replicas[0].up = False
+    for q in queries.iloc[half:].itertuples(index=False):
+        check(q)
+    for grp in rep.shards:
+        grp.replicas[0].up = True
+
+    # mid-call death: the primary starts the call and raises — the
+    # coordinator must transparently retry the sibling copy
+    victim = rep.shards[0].replicas[0]
+    orig = victim.partial_scores
+    victim.partial_scores = lambda q: (_ for _ in ()).throw(
+        ConnectionError("node died mid-call")
+    )
+    try:
+        for q in queries.iloc[:5].itertuples(index=False):
+            check(q)
+    finally:
+        victim.partial_scores = orig
+
+    # red index: every copy of one group down → the query that needs that
+    # group fails loudly, not silently with partial results
+    for r in rep.shards[0].replicas:
+        r.up = False
+    with pytest.raises(ConnectionError):
+        for q in queries.itertuples(index=False):
+            rep.search(q.query_text, int(q.k))
+    for r in rep.shards[0].replicas:
+        r.up = True
+
+
 def test_pyarrow_scan_equals_spark_scan(spark, index_dir):
     """The default driver fetch is a direct pyarrow read (zero Spark jobs);
     it must return exactly the Spark-scan path's blocks → identical

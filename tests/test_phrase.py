@@ -259,3 +259,24 @@ def test_sharded_serving_phrase(corpus, phrases, pos_index_dir):
                 crossed += 1
         # the set must actually exercise the cross-shard path
         assert crossed > 0, f"no phrase crossed shards at n_shards={n_shards}"
+
+
+def test_replicated_serving_phrase_failover(corpus, phrases, pos_index_dir):
+    """Round-5: the two-round phrase exchange over REPLICATED shard groups —
+    with one replica of every group down, ranks and scores stay identical
+    to the unsharded node (the coordinator's owner lookup must route each
+    phase of the exchange to a live copy)."""
+    from sync2any_spark.query.serving import LocalSearcher, ShardedSearcher
+
+    whole = LocalSearcher(pos_index_dir, with_positions=True)
+    rep = ShardedSearcher.build_replicated(
+        pos_index_dir, n_shards=2, n_replicas=2, with_positions=True
+    )
+    for grp in rep.shards:
+        grp.replicas[1].up = False  # different victim than the search test
+    for phrase in phrases:
+        got = rep.search_phrase(phrase, 10)
+        want = whole.search_phrase(phrase, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], phrase
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), phrase
