@@ -43,14 +43,20 @@ def _vocab() -> list[str]:
     return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
 
 
-def generate_transcripts(sf: str, mult: int = 1) -> "pa.Table":
+def generate_transcripts(
+    sf: str, mult: int = 1, conv_start: int = 0, seed: int = SEED
+) -> "pa.Table":
     """Build the corpus for a scale factor tag ('sf0.001'|'sf0.01'|'sf0.1').
 
     ``mult`` scales the conversation count (bench corpora: the same seeded
     generator, more conversations — used so throughput measurements are
-    compute-bound rather than job-latency-bound)."""
+    compute-bound rather than job-latency-bound). ``conv_start``/``seed``
+    support chunked generation of the large validation corpora: chunk i
+    covers conversations [i*n, (i+1)*n) with its own rng stream, so chunks
+    generate in parallel processes yet the corpus stays a pure function of
+    (sf, mult)."""
     n_convs = N_CONVS[sf] * mult
-    rng = np.random.default_rng(SEED)
+    rng = np.random.default_rng(seed)
     vocab = np.array(_vocab())
 
     # Zipf ranks over the vocabulary (bounded zipf via normalized weights —
@@ -62,7 +68,8 @@ def generate_transcripts(sf: str, mult: int = 1) -> "pa.Table":
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
     base_ts = np.datetime64("2026-01-01T00:00:00", "us")
 
-    for c in range(n_convs):
+    for c0 in range(n_convs):
+        c = conv_start + c0
         conv = f"conv_{c:08d}"
         if c == 0:
             n_turns = 1
@@ -169,11 +176,31 @@ def sf_tag(sf_dir: str) -> str:
     return tag if tag in N_CONVS else "sf0.01"
 
 
+def _write_chunk(args: tuple) -> None:
+    """Worker for chunked corpus generation (module-level: picklable)."""
+    sf, chunk_mult, conv_start, seed, out = args
+    pq.write_table(
+        generate_transcripts(sf, chunk_mult, conv_start=conv_start, seed=seed),
+        out,
+        compression="zstd",
+        row_group_size=8192,
+    )
+
+
 def ensure_transcripts(sf: str, mult: int = 1) -> str:
-    """Generate-if-missing; returns the parquet path (idempotent, seeded)."""
+    """Generate-if-missing; returns the parquet path (idempotent, seeded).
+
+    ``mult`` ≤ 16 writes the single file the small-corpus paths expect.
+    Larger multipliers (the sf1-scale validation corpus ≈ 19M docs) write a
+    DIRECTORY of chunk files — generated in parallel processes, conv-id
+    ranges disjoint and ascending with the lexical file order, so the
+    sorted-source fast path and the DuckDB oracle both read it exactly like
+    the single file."""
     path = transcripts_path(sf, mult)
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if mult <= 16:
         tmp = path + ".tmp"
         # small row groups so Spark can split the single file into many scan
         # tasks (spark.sql.files.maxPartitionBytes can't split inside a row
@@ -183,6 +210,32 @@ def ensure_transcripts(sf: str, mult: int = 1) -> str:
             row_group_size=8192,
         )
         os.replace(tmp, path)
+        return path
+    from concurrent.futures import ProcessPoolExecutor
+
+    chunk_mult = 8
+    if mult % chunk_mult:
+        raise ValueError(f"large mult must be a multiple of {chunk_mult}")
+    n_chunks = mult // chunk_mult
+    per = N_CONVS[sf] * chunk_mult
+    tmpdir = path + ".tmpdir"
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    os.makedirs(tmpdir)
+    jobs = [
+        (
+            sf,
+            chunk_mult,
+            i * per,
+            SEED + 1_000_003 * i,
+            os.path.join(tmpdir, f"chunk-{i:04d}.parquet"),
+        )
+        for i in range(n_chunks)
+    ]
+    with ProcessPoolExecutor(max_workers=min(8, n_chunks)) as ex:
+        list(ex.map(_write_chunk, jobs))
+    os.replace(tmpdir, path)
     return path
 
 

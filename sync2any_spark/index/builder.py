@@ -2082,8 +2082,26 @@ def build_postings_direct(
         merge_tasks,
         schema="bucket int, sub int, salt int, n_blocks long, wall_ms long",
     )
-    agg = manifest.agg(F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("nb")).first()
-    return int(agg.nb)
+    # collect the tiny per-task manifest (one row per merge task) and keep
+    # the task walls next to the layout: diagnosing a merge-stage scaling
+    # residue needs the task histogram (straggler vs substrate), not just
+    # the stage wall. Underscore prefix → invisible to pyarrow dataset
+    # discovery of the hive layout.
+    pdf_m = manifest.toPandas()
+    try:
+        wfs.write_json(
+            {
+                "task_wall_ms": [int(x) for x in pdf_m["wall_ms"]],
+                "task_keys": [
+                    [int(r.bucket), int(r.sub), int(r.salt)]
+                    for r in pdf_m.itertuples(index=False)
+                ],
+            },
+            os.path.join(out_dir, "_task_walls.json"),
+        )
+    except OSError:
+        pass  # diagnostics only — never fail the build for them
+    return int(pdf_m["n_blocks"].sum()) if len(pdf_m) else 0
 
 
 def force_merge_postings(

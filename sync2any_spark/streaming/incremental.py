@@ -222,6 +222,9 @@ def apply_increments(
     n_new = new_docs.count()
 
     if n_tombstones == 0 and n_new == 0:
+        joined.unpersist()
+        all_tombstones.unpersist()
+        new_docs.unpersist()
         return {"tombstones": 0, "new_docs": 0, "segment": None, "wall_s": 0.0}
 
     segment = int(meta.get("last_segment", 0)) + 1
@@ -336,6 +339,11 @@ def apply_increments(
     ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
         paths.metrics
     )
+    # a CDC session applies batches forever: release this batch's cached
+    # partitions so storage memory can't accumulate across applies
+    joined.unpersist()
+    all_tombstones.unpersist()
+    new_docs.unpersist()
     return {
         "tombstones": n_tombstones,
         "new_docs": n_new,
@@ -443,11 +451,21 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     live = live_docs(spark, index_dir).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
+    # live docs arrive as a DataFrame (union of segments minus tombstones),
+    # so the rebuild takes the two-pass path whose SPIMI tasks are one-per-
+    # docs-file. Fan out well past the core count: a ~60k-row task's
+    # tokenize/encode working set (~30 MB) spills to DRAM and 32 concurrent
+    # tasks go bandwidth-bound (measured 10× per-task inflation vs
+    # single-task); ~15k-row tasks stay cache-resident like the fused
+    # path's spans (3.5× faster per row at full parallelism).
+    n_parts = max(
+        int(meta["n_partitions"]), 4 * spark.sparkContext.defaultParallelism
+    )
     return build_index(
         spark,
         live,
         out_dir,
-        n_partitions=meta["n_partitions"],
+        n_partitions=n_parts,
         n_buckets=meta["n_buckets"],
         n_salts=meta["n_salts"],
         heavy_df_threshold=meta["heavy_df_threshold"],

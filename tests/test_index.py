@@ -293,6 +293,36 @@ def test_search_auto_routing_rank_identical(spark, index_dir):
             assert sa == pytest.approx(sb, rel=1e-9), q.query_text
 
 
+def test_route_budget_boundary(spark, index_dir):
+    """r4 VERDICT Next #7: pin the Σ-df pricing at the budget boundary.
+    A query priced exactly AT the budget stays on the driver leg; one
+    posting over it routes to the distributed leg — and both legs return
+    the identical ranking, so a mis-priced budget can never change results,
+    only cost."""
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    base = IndexSearcher(spark, index_dir)
+    qtext, k = queries.iloc[0].query_text, int(queries.iloc[0].k)
+    qterms = base._qterms(qtext)
+    dfs = base._term_dfs(qterms)
+    price = sum(dfs[t] for t in qterms)
+    assert price > 1  # boundary test needs a non-trivial price
+    want = base.search(qtext, k)
+
+    for budget, expect_distributed in ((price, False), (price - 1, True)):
+        s = IndexSearcher(spark, index_dir, route_budget=budget)
+        hits: list[int] = []
+        orig = s.search_distributed
+        s.search_distributed = lambda q, kk, _h=hits, _o=orig: (
+            _h.append(1),
+            _o(q, kk),
+        )[1]
+        got = s.search(qtext, k)
+        assert bool(hits) == expect_distributed, budget
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+
 def test_sharded_serving_matches_unsharded(spark, index_dir):
     """ShardedSearcher (round-2 Next #7): bucket-disjoint serving nodes,
     coordinator sums per-doc partials — rank- AND score-identical to one
