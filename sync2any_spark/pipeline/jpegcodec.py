@@ -440,7 +440,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
                     p += 64
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             comps = []
             for i in range(nc):
@@ -448,9 +449,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
             frame = {
                 "h": h, "w": w, "comps": comps, "prec": prec,
-                "prog": marker == 0xC2,
+                "prog": marker == 0xC2, "lossless": marker == 0xC3,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) — libjpeg "
                 f"plugs in here; MJPEG streams are baseline or progressive"
@@ -505,6 +506,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += seglen
     if frame is None or not scans:
         raise ValueError("missing SOF/SOS")
+    if frame.get("lossless"):
+        return _decode_lossless(frame, scans)
     comps = frame["comps"]
     if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
         f = [(c["h"], c["v"]) for c in comps]
@@ -638,6 +641,102 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // chh, axis=1)
         outs.append(p[:h, :w])
     return _finish_planes(outs)
+
+
+def _decode_lossless(frame, scans) -> np.ndarray:
+    """Lossless JPEG (T.81 Annex H, Huffman): spatial-domain predictive
+    coding — no DCT, no quantization. Each sample's difference from its
+    prediction is coded exactly like a DC coefficient (category symbol
+    SSSS through a DC Huffman table + SSSS amplitude bits; SSSS = 16 means
+    a difference of 32768 with no extra bits), and reconstruction is
+    ``Rx = (Px + Diff) mod 2^16`` (H.1.2.1).
+
+    Predictors 1-7 (H.1-H.7) select over Ra (left), Rb (above), Rc
+    (above-left). Positional rules: the very first sample (and the first
+    sample after every restart marker) is predicted as ``2^(P - Pt - 1)``;
+    the rest of the first line uses the 1-D horizontal predictor Ra; the
+    first sample of every other line uses Rb; everywhere else the
+    selected predictor applies. Prediction runs in the point-transformed
+    domain; the final output shifts left by Pt.
+
+    Returns (H, W) for one component, (H, W, nc) stacked otherwise —
+    uint16 when precision > 8 (lossless precision spans 2-16 bits), else
+    uint8. Lossless components carry no YCbCr convention, so no
+    colorspace transform is applied.
+    """
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        f = [(c["h"], c["v"]) for c in comps]
+        raise NotImplementedError(
+            f"lossless JPEG sampling factors {f} — components are "
+            f"full-resolution (1x1) in practice"
+        )
+    prec = frame["prec"]
+    if not 2 <= prec <= 16:
+        raise ValueError(f"lossless JPEG precision {prec} outside 2..16")
+    h, w = frame["h"], frame["w"]
+    planes = {c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps}
+    covered: set[int] = set()
+    for scan in scans:
+        psel, pt = scan["ss"], scan["al"]
+        if not 1 <= psel <= 7:
+            raise ValueError(f"lossless predictor selector {psel}")
+        sched = [
+            (planes[sc["id"]], scan["huff"][(0, sc["dc"])])
+            for sc in scan["comps"]
+        ]
+        covered.update(sc["id"] for sc in scan["comps"])
+        r = _BitReader(scan["data"])
+        dri = scan["dri"]
+        default = 1 << (prec - pt - 1)
+        reset = True  # start-of-scan → default prediction
+        mcu = 0  # one MCU = one sample position (1x1 sampling)
+        for y in range(h):
+            for x in range(w):
+                if dri and mcu and mcu % dri == 0:
+                    r.skip_restart()
+                    reset = True
+                mcu += 1
+                for plane, lut in sched:
+                    s = r.read_symbol(lut)
+                    if s > 16:
+                        raise ValueError(f"lossless SSSS {s} > 16")
+                    diff = 32768 if s == 16 else _extend(r.bits(s), s)
+                    if reset:
+                        px = default
+                    elif y == 0:
+                        px = plane[0, x - 1]
+                    elif x == 0:
+                        px = plane[y - 1, 0]
+                    else:
+                        ra = plane[y, x - 1]
+                        rb = plane[y - 1, x]
+                        rc = plane[y - 1, x - 1]
+                        if psel == 1:
+                            px = ra
+                        elif psel == 2:
+                            px = rb
+                        elif psel == 3:
+                            px = rc
+                        elif psel == 4:
+                            px = ra + rb - rc
+                        elif psel == 5:
+                            px = ra + ((rb - rc) >> 1)
+                        elif psel == 6:
+                            px = rb + ((ra - rc) >> 1)
+                        else:
+                            px = (ra + rb) >> 1
+                    plane[y, x] = (int(px) + diff) & 0xFFFF
+                reset = False
+    missing = {c["id"] for c in comps} - covered
+    if missing:
+        raise ValueError(f"lossless scan(s) missing component(s) {missing}")
+    pt0 = scans[0]["al"]
+    outs = [planes[c["id"]] << pt0 for c in comps]
+    dtype = np.uint16 if prec > 8 else np.uint8
+    if len(outs) == 1:
+        return outs[0].astype(dtype)
+    return np.stack(outs, axis=-1).astype(dtype)
 
 
 def _finish_planes(outs: "list[np.ndarray]") -> np.ndarray:
@@ -842,6 +941,104 @@ PROG_AC = (
     [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
     list(range(256)),
 )
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    pt: int = 0,
+    restart_rows: int = 0,
+) -> bytes:
+    """Exact SOF3 fixture encoder (T.81 Annex H): the inverse of
+    ``_decode_lossless``, mirroring its prediction rules bit for bit.
+
+    ``img`` is (H, W) or (H, W, nc) uint8/uint16; precision is 8 or 16 by
+    dtype. ``pt`` (point transform) drops the low ``pt`` bits first —
+    decode then returns ``(img >> pt) << pt``. All 17 difference
+    categories share one flat 5-bit Huffman table (17/32 Kraft slots), so
+    any 16-bit difference is codable. ``restart_rows`` emits an RSTn every
+    that many sample rows (DRI in MCUs = rows × W)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        arrs = [img]
+    else:
+        arrs = [img[:, :, i] for i in range(img.shape[2])]
+    prec = 16 if img.dtype == np.uint16 else 8
+    if pt >= prec:
+        raise ValueError("point transform must leave at least one bit")
+    h, w = img.shape[:2]
+    samples = [a.astype(np.int64) >> pt for a in arrs]
+
+    counts = [0] * 16
+    counts[4] = 17  # all 17 SSSS symbols at code length 5
+    symbols = list(range(17))
+    codes = _canonical_codes(counts, symbols)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dht_segment(0, 0, (counts, symbols))
+    nc = len(samples)
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    dri = restart_rows * w if restart_rows else 0
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += _sos_segment([(i + 1, 0, 0) for i in range(nc)], predictor, 0, 0, pt)
+
+    wtr = _BitWriter()
+    default = 1 << (prec - pt - 1)
+    reset = True
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if dri and mcu and mcu % dri == 0:
+                wtr.restart(rst)
+                rst += 1
+                reset = True
+            mcu += 1
+            for plane in samples:
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = plane[0, x - 1]
+                elif x == 0:
+                    px = plane[y - 1, 0]
+                else:
+                    ra = plane[y, x - 1]
+                    rb = plane[y - 1, x]
+                    rc = plane[y - 1, x - 1]
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                d = (int(plane[y, x]) - int(px)) & 0xFFFF
+                if d > 32768:
+                    d -= 65536  # signed difference in [-32767, 32768]
+                if d == 32768:
+                    c, ln = codes[16]
+                    wtr.write(c, ln)  # SSSS=16: no amplitude bits
+                else:
+                    s = _category(d)
+                    c, ln = codes[s]
+                    wtr.write(c, ln)
+                    if s:
+                        wtr.write(d if d >= 0 else d + (1 << s) - 1, s)
+            reset = False
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _sos_segment(comp_spec: "list[tuple[int, int, int]]",

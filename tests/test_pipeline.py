@@ -568,8 +568,11 @@ def test_jpeg_codec_and_mjpeg_avi(spark):
 
     bad = bytearray(jpegs[0])
     i = bad.find(b"\xff\xc0")
-    bad[i + 1] = 0xC3  # lossless sequential — genuinely out of scope
-    with pytest.raises(NotImplementedError, match="0xC3"):
+    bad[i + 1] = 0xC3  # relabeled lossless: a baseline scan header carries
+    with pytest.raises(ValueError, match="predictor"):  # ss=0 → no predictor
+        decode_jpeg(bytes(bad))
+    bad[i + 1] = 0xC7  # differential lossless — genuinely out of scope
+    with pytest.raises(NotImplementedError, match="0xC7"):
         decode_jpeg(bytes(bad))
     bad[i + 1] = 0xC2  # baseline scan script is invalid as progressive
     with pytest.raises(ValueError, match="DC scan"):
@@ -929,6 +932,57 @@ def test_jpeg_progressive_randomized():
         assert np.array_equal(decode_jpeg(jb), expected(coefs, h, w)), (
             trial, kwargs,
         )
+
+
+def test_jpeg_lossless():
+    """Lossless JPEG (SOF3, T.81 Annex H — r4 VERDICT Next #8): exact
+    roundtrip through the fixture encoder for all 7 predictors, 1- and
+    3-component frames, 8- and 16-bit precision (SSSS up to 16 with the
+    mod-2^16 difference arithmetic), point transform, and restart
+    markers. Randomized: 30 (predictor, shape, dtype, pt, restart) draws."""
+    import numpy as np
+
+    from sync2any_spark.pipeline.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    for p in range(1, 8):
+        assert np.array_equal(decode_jpeg(encode_jpeg_lossless(g, predictor=p)), g)
+
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_lossless(rgb, predictor=4)), rgb)
+
+    u16 = rng.integers(0, 65536, (8, 9), dtype=np.uint16)
+    got = decode_jpeg(encode_jpeg_lossless(u16, predictor=7))
+    assert got.dtype == np.uint16 and np.array_equal(got, u16)
+
+    # point transform: decode returns the Pt-truncated samples
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(g, predictor=2, pt=3)), (g >> 3) << 3
+    )
+    # restart markers reset prediction mid-image
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(g, predictor=5, restart_rows=2)), g
+    )
+
+    for trial in range(30):
+        hh, ww = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        nc = int(rng.choice([1, 3]))
+        dt = rng.choice([np.uint8, np.uint16])
+        hi = 256 if dt is np.uint8 else 65536
+        shape = (hh, ww) if nc == 1 else (hh, ww, nc)
+        img = rng.integers(0, hi, shape, dtype=dt)
+        p = int(rng.integers(1, 8))
+        pt = int(rng.integers(0, 3))
+        rr = int(rng.choice([0, 1, 3]))
+        out = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=p, pt=pt, restart_rows=rr)
+        )
+        want = (img.astype(np.int64) >> pt) << pt
+        assert np.array_equal(out.astype(np.int64), want), (trial, p, pt, rr)
 
 
 def test_jpeg_restart_markers():
