@@ -346,6 +346,33 @@ def test_sharded_serving_matches_unsharded(spark, index_dir):
             assert gs == pytest.approx(ws, rel=1e-12), q.query_text
 
 
+def test_serving_pruned_hot_path_identity(spark, index_dir, monkeypatch):
+    """Vectorized block-max pruned serving leg (round 5): every reference
+    query forced through the hot path with pruning enabled must be rank-
+    AND score-identical to the exhaustive slice-parallel scorer — across
+    seed budgets (a tiny seed gives a loose θ that prunes little; θ is a
+    lower bound either way, so correctness never depends on it)."""
+    import sync2any_spark.query.serving as serving
+    from sync2any_spark.tokenize import tokenize
+
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    local = serving.LocalSearcher(index_dir)
+    monkeypatch.setattr(serving, "_PAR_SERVE_POSTINGS", 0)
+    for seed in (8, 1000, 10_000_000):
+        monkeypatch.setattr(serving, "_PRUNE_SEED_POSTINGS", seed)
+        for q in queries.itertuples(index=False):
+            got = local.search(q.query_text, int(q.k))
+            qterms = list(dict.fromkeys(tokenize(q.query_text)))
+            groups = [(t, local._term_blocks(t)) for t in qterms]
+            groups = [(t, g) for t, g in groups if g is not None]
+            want = local._vectorized_parallel(groups, int(q.k)) if groups else []
+            assert [g[0] for g in got] == [w[0] for w in want], (
+                seed, q.query_text
+            )
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-12), (seed, q.query_text)
+
+
 def test_replicated_serving_failover(spark, index_dir):
     """Round-5 (r4 VERDICT Next #3): the ES 8-shard × 2-replica layout —
     each shard group holds R full copies; the coordinator round-robins
