@@ -2442,6 +2442,10 @@ def build_index(
         "heavy_df_threshold": heavy_df_threshold,
         "block_size": BLOCK_SIZE,
         "n_docs": int(n_docs),
+        # id high-water mark for increments: snapshot ids are the dense
+        # rank 0..n-1, so the next fresh id is n_docs. apply_increments
+        # maintains it per commit — no full-store max() scan prices ids.
+        "next_doc_id": int(n_docs),
         "avgdl": avgdl,
         "store_positions": bool(store_positions),
         "format_version": 2,

@@ -57,6 +57,12 @@ from ..index.builder import (
 from ..query.algebra import SPARK_TOKEN_RE, term_stats
 
 
+# batches at or below this row count rank their fresh doc ids driver-side
+# (one 2-column toPandas + a broadcast id map); larger backfills use the
+# distributed two-level prefix sum
+DRIVER_RANK_ROWS = int(os.environ.get("SPARK_GRAFT_DRIVER_RANK_ROWS", 1_000_000))
+
+
 def _write_meta(index_dir: str, meta: dict) -> None:
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -160,6 +166,13 @@ def apply_increments(
     paths = IndexPaths(index_dir)
     meta = read_index_meta(index_dir)
     t0 = time.time()
+    laps: dict[str, float] = {}
+    _last = [t0]
+
+    def _lap(name: str) -> None:
+        now = time.time()
+        laps[name] = round(now - _last[0], 3)
+        _last[0] = now
 
     n_dup = (
         increments.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1)
@@ -196,20 +209,43 @@ def apply_increments(
     )
     all_tombstones = deletes_new.union(tombstoned_updates).persist()
     n_tombstones = all_tombstones.count()
+    _lap("join_and_tombstones")
 
     # fresh doc ids above the current max — never reused. Batch-internal
     # rank comes from the same scalable two-level prefix sum the snapshot
     # build uses (assign_doc_ids), so arbitrarily large backfill batches
-    # don't funnel through a single-partition window.
+    # don't funnel through a single-partition window. The id high-water
+    # mark rides in meta.json (round 5) — the snapshot build and every
+    # commit maintain it, so no full docs-store scan prices the next id;
+    # the agg below is only the migration fallback for pre-round-5 metas.
     from ..index.builder import assign_doc_ids
 
-    max_doc = all_docs(spark, index_dir, meta).agg(F.max("doc_id")).first()[0]
-    next_id = int(max_doc) + 1 if max_doc is not None else 0
-    new_docs = (
-        assign_doc_ids(
-            upserts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    next_id = meta.get("next_doc_id")
+    if next_id is None:
+        max_doc = all_docs(spark, index_dir, meta).agg(F.max("doc_id")).first()[0]
+        next_id = int(max_doc) + 1 if max_doc is not None else 0
+    ups = upserts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    n_new = ups.count()  # cached parent — also prices the rank path below
+    if 0 < n_new <= DRIVER_RANK_ROWS:
+        # typical CDC batch: rank the (conv_id, turn_idx) keys driver-side
+        # (one toPandas of two columns) and broadcast the id map back —
+        # the distributed two-level prefix sum costs ~3 s of job overhead
+        # for a 40k-row batch
+        kp = ups.select("conv_id", "turn_idx").toPandas()
+        kp = kp.sort_values(
+            ["conv_id", "turn_idx"], kind="stable"
+        ).reset_index(drop=True)
+        kp["doc_id"] = kp.index.to_numpy(dtype="int64") + int(next_id)
+        ids_df = spark.createDataFrame(kp)
+        with_ids = ups.join(F.broadcast(ids_df), ["conv_id", "turn_idx"])
+    else:
+        # backfill-scale batches: the same scalable two-level prefix sum
+        # the snapshot build uses — never a single-partition window
+        with_ids = assign_doc_ids(ups).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(next_id)).cast("long")
         )
-        .withColumn("doc_id", (F.col("doc_id") + F.lit(next_id)).cast("long"))
+    new_docs = (
+        with_ids
         .withColumn(
             "dl",
             F.size(
@@ -219,7 +255,7 @@ def apply_increments(
         .select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl")
         .persist()
     )
-    n_new = new_docs.count()
+    _lap("new_doc_ids")
 
     if n_tombstones == 0 and n_new == 0:
         joined.unpersist()
@@ -230,55 +266,94 @@ def apply_increments(
     segment = int(meta.get("last_segment", 0)) + 1
 
     # --- term/stat deltas (exact live maintenance) -----------------------
-    removed_rows = all_docs(spark, index_dir, meta).join(
-        all_tombstones, "doc_id", "left_semi"
+    # the tombstoned rows' stored text already sits in the CACHED join
+    # (cur_* columns) — deriving removed stats from it kills two full
+    # docs-store scans per apply (round 5). dl recomputes with the same
+    # deterministic token expression that wrote it, so values are
+    # identical to the stored column.
+    removed_rows = joined.where(
+        F.col("old_doc_id").isNotNull()
+        & ((F.col("op") == "D") | ~unchanged)
+    ).select(
+        F.col("old_doc_id").alias("doc_id"),
+        F.col("cur_text").alias("text"),
+        # EXACTLY the expression that wrote the stored dl — NULL text
+        # stays NULL here as there, so the stat deltas match the store
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("cur_text")), F.lit(SPARK_TOKEN_RE), 0
+            )
+        ).alias("dl"),
     )
-    removed_stats = term_stats(removed_rows, ["doc_id"]).select(
-        "term", F.col("df").alias("rm_df"), F.col("cf").alias("rm_cf")
+    # one signed tokenize pass over removed ∪ added (a doc id is on exactly
+    # one side — tombstoned ids are never reused), one join against the old
+    # terms table: halves the delta-stat jobs (round 5)
+    signed = (
+        removed_rows.select("doc_id", "text", "dl")
+        .withColumn("sign", F.lit(-1))
+        .unionByName(
+            new_docs.select("doc_id", "text", "dl").withColumn("sign", F.lit(1))
+        )
+        .persist()
     )
-    added_stats = term_stats(new_docs, ["doc_id"]).select(
-        "term", F.col("df").alias("ad_df"), F.col("cf").alias("ad_cf")
+    from ..query.algebra import term_freqs
+
+    delta_stats = (
+        term_freqs(signed, ["doc_id", "sign"])
+        .groupBy("term")
+        .agg(
+            F.sum("sign").alias("d_df"),
+            F.sum(F.col("sign") * F.col("tf")).alias("d_cf"),
+        )
     )
     old_terms = spark.read.parquet(paths.terms_v(meta.get("terms_version", 0)))
     from ..index.bucketing import bucket_expr
 
     new_terms = (
         old_terms.select("term", "df", "cf")
-        .join(removed_stats, "term", "full")
-        .join(added_stats, "term", "full")
+        .join(delta_stats, "term", "full")
         .select(
             "term",
             (
                 F.coalesce(F.col("df"), F.lit(0))
-                - F.coalesce(F.col("rm_df"), F.lit(0))
-                + F.coalesce(F.col("ad_df"), F.lit(0))
+                + F.coalesce(F.col("d_df"), F.lit(0))
             ).alias("df"),
             (
                 F.coalesce(F.col("cf"), F.lit(0))
-                - F.coalesce(F.col("rm_cf"), F.lit(0))
-                + F.coalesce(F.col("ad_cf"), F.lit(0))
+                + F.coalesce(F.col("d_cf"), F.lit(0))
             ).alias("cf"),
         )
         .where(F.col("df") > 0)
         .withColumn("bucket", bucket_expr("term", meta["n_buckets"]))
     )
     new_terms.write.mode("overwrite").parquet(paths.terms_v(segment))
+    _lap("term_deltas")
 
-    # --- stats (exact) -----------------------------------------------------
+    # --- stats (exact, one grouped agg over the signed union) --------------
     st = spark.read.parquet(paths.stats_v(meta.get("terms_version", 0))).first()
-    rm = removed_rows.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tok")
-    ).first()
-    ad = new_docs.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tok")
-    ).first()
-    n_docs_live = int(st.n_docs) - int(rm.n) + int(ad.n)
-    total_tokens = int(st.total_tokens) - int(rm.tok) + int(ad.tok)
+    deltas = {
+        int(r.sign): r
+        for r in signed.groupBy("sign")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tok"),
+        )
+        .collect()
+    }
+    rm = deltas.get(-1)
+    ad = deltas.get(1)
+    n_docs_live = int(st.n_docs) - int(rm.n if rm else 0) + int(ad.n if ad else 0)
+    total_tokens = (
+        int(st.total_tokens)
+        - int(rm.tok if rm else 0)
+        + int(ad.tok if ad else 0)
+    )
     avgdl = total_tokens / n_docs_live if n_docs_live else 0.0
     spark.createDataFrame(
         [(n_docs_live, avgdl, total_tokens)],
         "n_docs long, avgdl double, total_tokens long",
     ).write.mode("overwrite").parquet(paths.stats_v(segment))
+    _lap("stats")
 
     # --- delta segment postings (segment-owned dir, overwrite = retry-safe)
     prefix = f"seg{segment:03d}-"
@@ -292,8 +367,12 @@ def apply_increments(
     for stale in globmod.glob(os.path.join(paths.chunks, f"{prefix}*")):
         os.remove(stale)
     store_pos = bool(meta.get("store_positions", False))
+    # delta partition count sized to the batch (≥ ~4k docs per SPIMI task):
+    # a 40k-doc delta through the full snapshot partition count spends its
+    # wall on empty-task scheduling, not tokenizing
+    n_delta_parts = max(1, min(int(meta["n_partitions"]), n_new // 4000 + 1))
     manifest = build_chunks(
-        new_docs, paths.chunks, meta["n_partitions"], resume=True, prefix=prefix,
+        new_docs, paths.chunks, n_delta_parts, resume=True, prefix=prefix,
         tokenizer="pandas", store_positions=store_pos,
         n_buckets=int(meta["n_buckets"]),
     )
@@ -314,10 +393,12 @@ def apply_increments(
     delta_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         paths.postings_seg(segment)
     )
+    _lap("delta_postings")
 
     # --- segment docs + tombstones (segment-owned dirs) --------------------
     new_docs.write.mode("overwrite").parquet(paths.docs_seg(segment))
     all_tombstones.write.mode("overwrite").parquet(paths.deletes_seg(segment))
+    _lap("segment_writes")
 
     # --- COMMIT: one atomic meta.json replace ------------------------------
     meta["segments"] = meta.get("segments", []) + [segment]
@@ -325,6 +406,7 @@ def apply_increments(
     meta["last_segment"] = segment
     meta["n_docs"] = n_docs_live
     meta["avgdl"] = avgdl
+    meta["next_doc_id"] = int(next_id) + int(n_new)
     _write_meta(index_dir, meta)
 
     wall = time.time() - t0
@@ -344,11 +426,13 @@ def apply_increments(
     joined.unpersist()
     all_tombstones.unpersist()
     new_docs.unpersist()
+    signed.unpersist()
     return {
         "tombstones": n_tombstones,
         "new_docs": n_new,
         "segment": segment,
         "wall_s": wall,
+        "stage_walls": laps,
     }
 
 
