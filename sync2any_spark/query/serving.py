@@ -99,6 +99,11 @@ class _ReplicaGroup:
         raise ConnectionError(f"all {len(self.replicas)} replicas down")
 
     # coordinator-facing API (ShardedSearcher.search / search_phrase)
+    def search(self, query: str, k: int = 10):
+        # single-owner fast path target: the whole query answers locally
+        # on one live copy of this group (failover via _call)
+        return self._call("search", query, k)
+
     def partial_scores(self, query: str):
         return self._call("partial_scores", query)
 
@@ -209,6 +214,19 @@ class ShardedSearcher:
         )
 
     def search(self, query: str, k: int = 10) -> "list[tuple[int, float]]":
+        # single-owner fast path: when every query term's bucket lives on
+        # ONE shard (always true for single-term queries — a term's whole
+        # posting list is bucket-complete), the answer is entirely local to
+        # that node: delegate to its full search, which applies the
+        # block-max pruned hot leg the partial-sum scatter cannot (its θ
+        # is global, a shard's partials must stay exhaustive). Rank- and
+        # score-identical — all contributions are on that shard.
+        from ..tokenize import tokenize
+
+        qterms = list(dict.fromkeys(tokenize(query)))
+        owners = {id(o): o for t in qterms if (o := self._owner(t)) is not None}
+        if len(owners) == 1:
+            return next(iter(owners.values())).search(query, k)
         # scatter in parallel — in a real deployment these are concurrent
         # RPCs to separate nodes; in-process, the shards' decode/score
         # kernels release the GIL, so threads genuinely overlap
