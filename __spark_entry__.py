@@ -364,6 +364,37 @@ def _q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_decode_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-JPEG decode, oracle-checked (round 5): each doc carries
+    a genuine SOF3 stream (T.81 Annex H) of the same closed-form pixels as
+    the BMP query, with the spatial predictor cycling over all seven
+    selectors by doc_id — the pure-numpy Annex-H decoder (Huffman diff
+    categories, mod-2^16 reconstruction, per-predictor reconstruction)
+    must return bit-exact pixels for every predictor or the feature hash
+    fails. n_bytes is excluded: a lossless stream's length is
+    data-dependent, not closed-form."""
+    from sync2any_spark.pipeline.multimodal import (
+        attach_image_blob_lossless,
+        decode_images,
+    )
+
+    out = decode_images(
+        attach_image_blob_lossless(_docs(spark, sf_dir), "doc_id"), fake=False
+    )
+    f = F.col("features")
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.round(F.element_at(f, 1).cast("double"), 4).alias("mean_r"),
+        F.round(F.element_at(f, 2).cast("double"), 4).alias("mean_g"),
+        F.round(F.element_at(f, 3).cast("double"), 4).alias("mean_b"),
+        F.element_at(f, 4).cast("long").alias("p00_r"),
+        F.element_at(f, 5).cast("long").alias("p00_g"),
+        F.element_at(f, 6).cast("long").alias("p00_b"),
+        F.element_at(f, 7).cast("long").alias("vmin"),
+        F.element_at(f, 8).cast("long").alias("vmax"),
+    )
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN. Fully oracle-checked: the planes are a
     pure function of (seed, dim), so the DuckDB oracle re-derives the sign
@@ -791,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_documents": _q_fingerprints,
         "blob_metadata_documents": _q_blob_metadata,
         "image_decode_features": _q_image_decode_features,
+        "image_decode_lossless_documents": _q_image_decode_lossless,
         "video_frames_documents": _q_video_frames,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1196,6 +1228,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
                    246::BIGINT AS n_bytes, mean_r, mean_g, mean_b,
+                   (doc_id * 7) % 256 AS p00_r,
+                   (doc_id * 7 + 11) % 256 AS p00_g,
+                   (doc_id * 7 + 22) % 256 AS p00_b,
+                   vmin, vmax
+            FROM agg
+        """,
+        "image_decode_lossless_documents": """
+            WITH px AS (
+              SELECT d.doc_id, gx.x, gy.y, gc.c,
+                     (d.doc_id * 7 + gx.x * 5 + gy.y * 3 + gc.c * 11) % 256 AS v
+              FROM documents d
+              CROSS JOIN generate_series(0, 7) gx(x)
+              CROSS JOIN generate_series(0, 7) gy(y)
+              CROSS JOIN generate_series(0, 2) gc(c)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     round(avg(CASE WHEN c = 0 THEN v END), 4) AS mean_r,
+                     round(avg(CASE WHEN c = 1 THEN v END), 4) AS mean_g,
+                     round(avg(CASE WHEN c = 2 THEN v END), 4) AS mean_b,
+                     min(v)::BIGINT AS vmin, max(v)::BIGINT AS vmax
+              FROM px GROUP BY doc_id
+            )
+            SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
+                   mean_r, mean_g, mean_b,
                    (doc_id * 7) % 256 AS p00_r,
                    (doc_id * 7 + 11) % 256 AS p00_g,
                    (doc_id * 7 + 22) % 256 AS p00_b,

@@ -77,6 +77,45 @@ def attach_image_blob(
     )
 
 
+def attach_image_blob_lossless(
+    df: DataFrame, id_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL lossless-JPEG payload per row (round 5): the same
+    closed-form pixels as ``attach_image_blob`` —
+    ``pixel(y, x, c) = (id·7 + x·5 + y·3 + c·11) mod 256`` — but encoded as
+    an SOF3 lossless JPEG (T.81 Annex H) with the spatial predictor cycling
+    over all seven selectors by ``id mod 7``. Lossless → the decoded pixels
+    are bit-exact, so the SQL oracle predicts every feature while the blob
+    exercises the full Annex-H path: Huffman diff decode, mod-2^16
+    reconstruction, and every predictor."""
+
+    def synth(batches):
+        from .jpegcodec import encode_jpeg_lossless
+
+        x = np.arange(width, dtype=np.int64)
+        y = np.arange(height, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        base = (
+            x[None, :, None] * 5 + y[:, None, None] * 3 + c[None, None, :] * 11
+        )
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blobs = [
+                encode_jpeg_lossless(
+                    ((int(i) * 7 + base) % 256).astype(np.uint8),
+                    predictor=int(i) % 7 + 1,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "blob": blobs, "mime": ["image/jpeg"] * len(ids)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id long, blob binary, mime string"
+    )
+
+
 def blob_metadata(blobs: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, blob_md5, magic) — pure JVM metadata extraction."""
     return blobs.select(
