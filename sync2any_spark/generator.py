@@ -176,6 +176,34 @@ def sf_tag(sf_dir: str) -> str:
     return tag if tag in N_CONVS else "sf0.01"
 
 
+# Corpus parquet row-group size. Row groups are the atomic split unit for
+# both Spark's scan planner and the fused build's span planner; 2048-row
+# groups (~0.7 MB uncompressed here) let the span planner cut cache-resident
+# fused tasks and give small corpora enough spans to take the one-pass
+# fused path at all (guide §6: file layout determines reader parallelism).
+# A real 100 TB source has many files and doesn't need this.
+ROW_GROUP_ROWS = 2048
+
+
+def _layout_current(path: str) -> bool:
+    """True when an existing corpus file/dir already uses the current
+    row-group layout (one cheap footer read); stale layouts regenerate so
+    span planning sees the intended granularity."""
+    try:
+        probe = path
+        if os.path.isdir(path):
+            names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+            if not names:
+                return False
+            probe = os.path.join(path, names[0])
+        md = pq.ParquetFile(probe).metadata
+        if md.num_rows == 0:
+            return True
+        return md.row_group(0).num_rows <= ROW_GROUP_ROWS
+    except Exception:
+        return False
+
+
 def _write_chunk(args: tuple) -> None:
     """Worker for chunked corpus generation (module-level: picklable)."""
     sf, chunk_mult, conv_start, seed, out = args
@@ -183,7 +211,7 @@ def _write_chunk(args: tuple) -> None:
         generate_transcripts(sf, chunk_mult, conv_start=conv_start, seed=seed),
         out,
         compression="zstd",
-        row_group_size=8192,
+        row_group_size=ROW_GROUP_ROWS,
     )
 
 
@@ -197,17 +225,14 @@ def ensure_transcripts(sf: str, mult: int = 1) -> str:
     sorted-source fast path and the DuckDB oracle both read it exactly like
     the single file."""
     path = transcripts_path(sf, mult)
-    if os.path.exists(path):
+    if os.path.exists(path) and _layout_current(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if mult <= 16:
         tmp = path + ".tmp"
-        # small row groups so Spark can split the single file into many scan
-        # tasks (spark.sql.files.maxPartitionBytes can't split inside a row
-        # group) — a real 100 TB source has many files and doesn't need this
         pq.write_table(
             generate_transcripts(sf, mult), tmp, compression="zstd",
-            row_group_size=8192,
+            row_group_size=ROW_GROUP_ROWS,
         )
         os.replace(tmp, path)
         return path
@@ -235,6 +260,7 @@ def ensure_transcripts(sf: str, mult: int = 1) -> str:
     ]
     with ProcessPoolExecutor(max_workers=min(8, n_chunks)) as ex:
         list(ex.map(_write_chunk, jobs))
+    shutil.rmtree(path, ignore_errors=True)  # stale-layout dir, if any
     os.replace(tmpdir, path)
     return path
 

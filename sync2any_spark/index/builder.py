@@ -650,6 +650,107 @@ def _spimi_encode(
     return rows, len(starts)
 
 
+def _spimi_encode_codes(
+    part_id: int,
+    doc_ids: np.ndarray,
+    dls: np.ndarray,
+    codes: np.ndarray,
+    doc_lens: np.ndarray,
+    uniq_terms: np.ndarray,
+    store_positions: bool = False,
+) -> "tuple[dict, int]":
+    """``_spimi_encode`` over pre-factorized token codes (the byte-level
+    tokenizer output, round 6): identical chunk rows, no per-token Python
+    strings. ``codes`` index the SORTED vocabulary ``uniq_terms`` and run in
+    document order (callers pre-sort rows by doc_id), so ONE stable int32
+    argsort (numpy radix) yields the (term, doc, in-doc position) order the
+    old combined-int64-key sort produced — and the div/mod decomposition
+    disappears (term and row indices are gathered directly)."""
+    n_rows = len(doc_ids)
+    if codes.size == 0:
+        return dict(_EMPTY_CHUNK_ROWS), 0
+    row_pos = np.repeat(np.arange(n_rows, dtype=np.int32), doc_lens)
+    order = np.argsort(codes.astype(np.int32), kind="stable")
+    c_s = codes[order]
+    r_s = row_pos[order]
+    pchange = np.concatenate(([True], (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])))
+    pstarts = np.flatnonzero(pchange)
+    pends = np.append(pstarts[1:], c_s.size)
+    tf = pends - pstarts
+    t_code = c_s[pstarts]
+    pos = r_s[pstarts].astype(np.int64)
+    ids = doc_ids[pos]
+    dl_arr = dls[pos]
+
+    change = np.concatenate(([True], t_code[1:] != t_code[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(t_code))
+    bounds = np.append(starts, len(t_code))
+
+    from .codec import (
+        encode_doc_id_segments,
+        encode_positions_segments,
+        vb_encode_segments,
+    )
+
+    rows = {
+        "term": uniq_terms[t_code[starts]].astype(object),
+        "part_id": np.full(len(starts), part_id, dtype=np.int32),
+        "min_doc": ids[starts],
+        "max_doc": ids[ends - 1],
+        "n_docs": (ends - starts).astype(np.int32),
+        "cf": np.add.reduceat(tf, starts).astype(np.int64),
+        "doc_ids": encode_doc_id_segments(ids, bounds),
+        "tfs": vb_encode_segments(tf.astype(np.int64), bounds),
+        "dls": vb_encode_segments(dl_arr, bounds),
+    }
+    if store_positions:
+        doc_start = np.repeat(np.cumsum(doc_lens) - doc_lens, doc_lens)
+        pos_in_doc = (np.arange(codes.size, dtype=np.int64) - doc_start)[order]
+        posting_bounds = np.append(pstarts, c_s.size)
+        seg_bounds = posting_bounds[bounds]
+        rows["pos"] = encode_positions_segments(
+            pos_in_doc, posting_bounds, seg_bounds
+        )
+    else:
+        rows["pos"] = [b""] * len(starts)
+    return rows, len(starts)
+
+
+def _spimi_rows_for_texts(
+    part_id: int,
+    doc_ids: np.ndarray,
+    text_col,
+    store_positions: bool = False,
+) -> "tuple[dict, int, np.ndarray]":
+    """(chunk rows, n_terms, dls) for one span/partition: byte-level
+    tokenizer when the bytes are fast-path-safe, regex fallback otherwise.
+    ``text_col`` is an Arrow array/chunked array (or anything pa.array can
+    wrap) aligned with ``doc_ids`` (already doc-sorted)."""
+    import pyarrow as pa
+
+    from ..tokenize import TOKEN_RE, tokenize_arrow_codes
+
+    if not isinstance(text_col, (pa.Array, pa.ChunkedArray)):
+        text_col = pa.array(text_col, pa.string(), from_pandas=True)
+    fast = tokenize_arrow_codes(text_col)
+    if fast is not None:
+        codes, doc_lens, uniq = fast
+        rows, n_terms = _spimi_encode_codes(
+            part_id, doc_ids, doc_lens, codes, doc_lens, uniq,
+            store_positions=store_positions,
+        )
+        return rows, n_terms, doc_lens
+    findall = TOKEN_RE.findall
+    texts = text_col.to_pandas()
+    toks = [findall(t.lower()) if t else [] for t in texts]
+    dls = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    rows, n_terms = _spimi_encode(
+        part_id, doc_ids, dls, toks, store_positions=store_positions
+    )
+    return rows, n_terms, dls
+
+
 def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
                           store_positions: bool = False, wfs=None,
                           n_buckets: "int | None" = None, n_salts: int = 8):
@@ -668,18 +769,16 @@ def _chunk_builder_pandas(chunks_dir: str, prefix: str = "",
     pre-sorted by doc_id.
     """
 
-    from ..tokenize import TOKEN_RE
-
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         part_id = int(pdf["part_id"].iloc[0])
         pdf = pdf.sort_values("doc_id")
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        findall = TOKEN_RE.findall
-        toks = [findall(t.lower()) if t else [] for t in pdf["text"]]
-        rows, n_terms = _spimi_encode(
-            part_id, doc_ids, dls, toks, store_positions=store_positions
+        # dls come from the tokenizer itself (identical to the stored dl
+        # column by the proven JVM≡Python token equivalence; NULL-text rows
+        # count 0 both ways)
+        rows, n_terms, dls = _spimi_rows_for_texts(
+            part_id, doc_ids, pdf["text"], store_positions=store_positions
         )
         return _write_chunk(
             chunks_dir, prefix, part_id, rows, len(pdf), n_terms, t0,
@@ -1180,6 +1279,7 @@ def build_segments(
     n_buckets: "int | None" = None,
     n_salts: int = 8,
     span_bases: "list[int] | None" = None,
+    spans: "list[tuple[str, int, int]] | None" = None,
 ) -> DataFrame:
     """Fused segment build — ONE corpus pass writes docs store + SPIMI chunk.
 
@@ -1206,7 +1306,8 @@ def build_segments(
     10^9-conversation regime needs only one long per span.
     """
     paths = IndexPaths(index_dir)
-    spans = plan_spans(source_path, span_mb)
+    if spans is None:
+        spans = plan_spans(source_path, span_mb)
     names = [f"{os.path.basename(p)}:{lo}-{hi}" for p, lo, hi in spans]
     resume = _pin_worklist(paths.chunks, names, resume, wfs=filesystem)
     done = completed_partitions(paths.chunks, wfs=filesystem) if resume else set()
@@ -1241,8 +1342,6 @@ def build_segments(
     bc = spark.sparkContext.broadcast(offsets)
     chunks_dir, docs_dir = paths.chunks, paths.docs
 
-    from ..tokenize import TOKEN_RE
-
     def kern(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -1250,7 +1349,6 @@ def build_segments(
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
         off = bc.value
-        findall = TOKEN_RE.findall
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 t0 = time.time()
@@ -1288,10 +1386,9 @@ def build_segments(
                     order = np.argsort(doc_ids, kind="stable")
                     doc_ids = doc_ids[order]
                 tbl = tbl.take(order)
-                texts = tbl.column("text").to_pandas()
-                toks = [findall(t.lower()) if t else [] for t in texts]
-                dls = np.fromiter(
-                    (len(x) for x in toks), dtype=np.int64, count=len(toks)
+                rows, n_terms, dls = _spimi_rows_for_texts(
+                    part_id, doc_ids, tbl.column("text"),
+                    store_positions=store_positions,
                 )
                 cols = {
                     "doc_id": pa.array(doc_ids, pa.int64()),
@@ -1311,10 +1408,6 @@ def build_segments(
                 docs_tbl = pa.table(cols)
                 dpath = os.path.join(docs_dir, f"part-{part_id:05d}.parquet")
                 wfs.write_table(docs_tbl, dpath, compression="snappy")
-                rows, n_terms = _spimi_encode(
-                    part_id, doc_ids, dls, toks,
-                    store_positions=store_positions,
-                )
                 # chunk then manifest LAST — the docs file above is only
                 # trusted once this manifest lands (fswrite commit order)
                 yield _write_chunk(
@@ -1420,6 +1513,73 @@ def build_term_stats_driver(
         count=len(agg),
     )
     return agg
+
+
+def write_stats_driver(
+    out_dir: str, n_docs: int, avgdl: float, total_tokens: int
+) -> None:
+    """Write the one-row corpus-stats table directly with pyarrow
+    (tmp→rename). The former one-row ``spark.createDataFrame(...).write``
+    cost a full Spark job (~0.4–0.9 s fixed floor per build at bench
+    scale); the relation served to readers is identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "part-00000.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([int(n_docs)], pa.int64()),
+                "avgdl": pa.array([float(avgdl)], pa.float64()),
+                "total_tokens": pa.array([int(total_tokens)], pa.int64()),
+            }
+        ),
+        tmp,
+        compression="zstd",
+    )
+    os.replace(tmp, path)
+    # drop any other data file from a previous layout of this dir
+    for n in os.listdir(out_dir):
+        full = os.path.join(out_dir, n)
+        if n.endswith(".parquet") and n != "part-00000.parquet":
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
+def append_metrics_driver(
+    metrics_dir: str, rows: "list[tuple[str, str, float]]"
+) -> None:
+    """Append metric rows as ONE pyarrow file with a unique name — the
+    driver-side spelling of ``df.write.mode("append")`` for the tiny
+    metrics table (same schema Spark wrote: ts as timestamp[ns]). Dataset
+    readers union all files, so mixed Spark/pyarrow-written dirs read
+    identically."""
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(metrics_dir, exist_ok=True)
+    now = np.datetime64(int(_time.time() * 1_000_000), "us").astype(
+        "datetime64[ns]"
+    )
+    tbl = pa.table(
+        {
+            "stage": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "ts": pa.array(np.full(len(rows), now), pa.timestamp("ns")),
+        }
+    )
+    path = os.path.join(metrics_dir, f"part-{uuid.uuid4().hex}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
 
 
 def write_terms_driver(terms_pdf: "pd.DataFrame", out_dir: str) -> None:
@@ -2274,9 +2434,36 @@ def build_index(
             # (tiny corpora / coarse row groups), the two-pass path fans out
             # with one shuffle instead
             t0 = time.time()
+            par = spark.sparkContext.defaultParallelism
             spans = plan_spans(source_path, span_mb)
+            # Scale-adaptive span refinement (guide §2.2/§6: derive the
+            # partitioning from input size AND available parallelism, never
+            # a fixed constant): span_mb is an UPPER bound. When the plan
+            # yields fewer than ~12 spans per core, re-plan finer — smaller
+            # fused tasks keep their tokenize/encode working set
+            # cache-resident (measured 1.5× on the SPIMI stage at local[32])
+            # and the task tail packs better. Row groups stay the atomic
+            # unit, so a source with huge row groups keeps coarse spans;
+            # levels with few cores (the N-vs-4N pair) are unaffected
+            # because their plans already exceed 12 spans/core.
+            for cand in (2, 1):
+                if len(spans) >= 12 * par or cand >= span_mb:
+                    break
+                finer = plan_spans(source_path, cand)
+                if len(finer) > len(spans):
+                    spans = finer
+            # fused-path coverage: a source whose row groups allow at least
+            # half the requested partition count (and at least the core
+            # count) is still far cheaper through the ONE fused pass than
+            # through the two-pass docs-write + SPIMI fallback — re-plan at
+            # row-group granularity before giving up on the fused path.
+            fused_floor = max(n_partitions // 2, min(par, n_partitions))
+            if len(spans) < n_partitions:
+                finest = plan_spans(source_path, 0)
+                if len(finest) > len(spans):
+                    spans = finest
             strategies: "list[tuple[str, list | None]]" = []
-            if len(spans) >= n_partitions:
+            if len(spans) >= fused_floor:
                 bases = sorted_span_bases(source_path, spans)
                 if bases is not None:
                     # footer stats prove group-granular conv ordering: no
@@ -2303,6 +2490,7 @@ def build_index(
                         store_positions=store_positions, filesystem=filesystem,
                         n_buckets=n_buckets, n_salts=n_salts,
                         span_bases=bases_i if strat == "sorted" else None,
+                        spans=spans,
                     )
                     built = manifest.count()  # action: the fused corpus pass
                     mans = read_manifests(paths.chunks, wfs=filesystem)
@@ -2331,10 +2519,7 @@ def build_index(
                 n_docs = sum(m["rows"] for m in mans)
                 total_tokens = sum(m.get("sum_dl", 0) for m in mans)
                 avgdl = float(total_tokens) / n_docs if n_docs else 0.0
-                spark.createDataFrame(
-                    [(int(n_docs), avgdl, int(total_tokens))],
-                    "n_docs long, avgdl double, total_tokens long",
-                ).write.mode("overwrite").parquet(paths.stats)
+                write_stats_driver(paths.stats, n_docs, avgdl, total_tokens)
                 metrics.append(("stats", "wall_s", time.time() - t1))
 
         if not fused:
@@ -2370,10 +2555,7 @@ def build_index(
                 F.count("*"), F.avg("dl"), F.sum("dl")
             ).first()
             avgdl = float(avgdl or 0.0)
-            spark.createDataFrame(
-                [(int(n_docs), avgdl, int(total_tokens or 0))],
-                "n_docs long, avgdl double, total_tokens long",
-            ).write.mode("overwrite").parquet(paths.stats)
+            write_stats_driver(paths.stats, n_docs, avgdl, int(total_tokens or 0))
             metrics.append(("stats", "wall_s", time.time() - t1))
 
             t2 = time.time()
@@ -2456,10 +2638,7 @@ def build_index(
     wall = time.time() - t0
     metrics.append(("build", "wall_s", wall))
     metrics.append(("build", "docs_per_s", float(n_docs) / max(wall, 1e-9)))
-    mdf = spark.createDataFrame(
-        [(s, k, v) for s, k, v in metrics], "stage string, key string, value double"
-    ).withColumn("ts", F.current_timestamp())
-    mdf.write.mode("append").parquet(paths.metrics)
+    append_metrics_driver(paths.metrics, metrics)
 
     return {
         "n_docs": int(n_docs),

@@ -20,36 +20,62 @@ def vb_encode_segments(
     ending with len(values)) — ONE vectorized encode over the whole array,
     then zero-copy buffer slicing per segment. This is what lets a SPIMI
     kernel encode thousands of small posting lists without per-list numpy
-    overhead."""
+    overhead.
+
+    Hot-path shape (mirrors ``vb_decode``): values < 128 encode as their own
+    single byte, and in posting data that is the overwhelming case (tf/dl
+    values and within-block doc-id gaps). The all-small case is ONE masked
+    cast; the mixed case runs the byte-group machinery ONLY over the rare
+    multi-byte values and scatters them into place — the former
+    unconditional full-stream repeat/shift passes were ~75% of SPIMI encode
+    time."""
     v = np.asarray(values, dtype=np.uint64)
     n_seg = len(bounds) - 1
     if v.size == 0:
         return [b""] * n_seg
+    big = v >= np.uint64(128)
+    b_arr = np.asarray(bounds, dtype=np.int64)
+    if not big.any():
+        buf = v.astype(np.uint8).tobytes()
+        return [buf[b_arr[i] : b_arr[i + 1]] for i in range(n_seg)]
+    # byte counts: 1 for small values, computed only over the big ones
     nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
+    vb = v[big]
+    nb = np.ones(vb.shape, dtype=np.int64)
+    tmp = vb >> np.uint64(7)
     while True:
         nz = tmp > 0
         if not nz.any():
             break
-        nbytes[nz] += 1
+        nb[nz] += 1
         tmp >>= np.uint64(7)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
+    nbytes[big] = nb
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    total = int(ends[-1])
+    out = np.empty(total, dtype=np.uint8)
+    # every value's FIRST byte is its low 7 bits at its start offset
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8)
+    # remaining bytes exist only for big values: build them densely, then
+    # scatter. pos runs 0..nb-1 per big value; byte j holds bits 7j..7j+6.
+    tot_big = int(nb.sum())
+    big_starts = np.cumsum(nb) - nb
+    pos = np.arange(tot_big, dtype=np.int64) - np.repeat(big_starts, nb)
     shifted = np.asarray(
-        np.repeat(v, nbytes) >> (pos * 7).astype(np.uint64), dtype=np.uint64
+        np.repeat(vb, nb) >> (pos * 7).astype(np.uint64), dtype=np.uint64
     )
-    out[:] = (shifted & np.uint64(0x7F)).astype(np.uint8)
-    is_last = np.zeros(total, dtype=bool)
-    is_last[ends - 1] = True
-    out[~is_last] |= 0x80
+    tgt = np.repeat(starts[big], nb) + pos
+    out[tgt] = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    # continuation flag on every non-last byte (big values only)
+    cont = pos < np.repeat(nb - 1, nb)
+    out[tgt[cont]] |= 0x80
     buf = out.tobytes()
-    # byte offset of each segment start (empty leading segments → offset 0)
-    b_arr = np.asarray(bounds[1:], dtype=np.int64)
-    byte_bounds = np.zeros(len(bounds), dtype=np.int64)
-    byte_bounds[1:] = np.where(b_arr > 0, ends[np.maximum(b_arr - 1, 0)], 0)
+    # byte offset of each segment start (starts[k] is exact for k < n;
+    # the terminal bound maps to the buffer end)
+    byte_bounds = np.empty(len(b_arr), dtype=np.int64)
+    inside = b_arr < v.size
+    byte_bounds[inside] = starts[b_arr[inside]]
+    byte_bounds[~inside] = total
     return [
         buf[byte_bounds[i] : byte_bounds[i + 1]] for i in range(n_seg)
     ]
@@ -74,31 +100,12 @@ def encode_doc_id_segments(
 
 
 def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a 1-D array of non-negative int64 values."""
-    v = np.asarray(values, dtype=np.uint64)
+    """Varbyte-encode a 1-D array of non-negative int64 values (same fast
+    shape as ``vb_encode_segments``: one-byte values short-circuit)."""
+    v = np.asarray(values, dtype=np.int64)
     if v.size == 0:
         return b""
-    # bytes per value = number of 7-bit groups (≤10 shift iterations for u64)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbytes[nz] += 1
-        tmp >>= np.uint64(7)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    # byte position within each value (0 = least significant)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
-    shifted = np.asarray(np.repeat(v, nbytes) >> (pos * 7).astype(np.uint64), dtype=np.uint64)
-    out[:] = (shifted & np.uint64(0x7F)).astype(np.uint8)
-    is_last = np.zeros(total, dtype=bool)
-    is_last[ends - 1] = True
-    out[~is_last] |= 0x80
-    return out.tobytes()
+    return vb_encode_segments(v, np.array([0, v.size], dtype=np.int64))[0]
 
 
 def vb_decode(buf: "bytes | np.ndarray") -> np.ndarray:
