@@ -1224,7 +1224,14 @@ def verify_sorted_manifests(mans: "list[dict]") -> bool:
     """Post-pass authority for the sorted-source fast path: every committed
     span manifest carries its sorted span's first/last (conv_id, turn_idx)
     keys; the global ranking is exact iff consecutive spans' key ranges are
-    disjoint and ascending. Empty spans (no rows) are skipped."""
+    disjoint and ascending. Empty spans (no rows) are skipped — but a
+    NON-empty manifest without boundary keys (a resumed chunk from an
+    earlier offsets-path or pre-round-5 run) fails verification outright:
+    the boundaries adjacent to an unkeyed span would otherwise go
+    unchecked (ADVICE r5 #1)."""
+    for m in mans:
+        if m.get("rows", 0) > 0 and m.get("first_conv") is None:
+            return False
     keyed = sorted(
         (m for m in mans if m.get("first_conv") is not None),
         key=lambda m: m["partition_id"],
@@ -1555,9 +1562,9 @@ def append_metrics_driver(
 ) -> None:
     """Append metric rows as ONE pyarrow file with a unique name — the
     driver-side spelling of ``df.write.mode("append")`` for the tiny
-    metrics table (same schema Spark wrote: ts as timestamp[ns]). Dataset
-    readers union all files, so mixed Spark/pyarrow-written dirs read
-    identically."""
+    metrics table; ts is TIMESTAMP(MICROS, UTC) — the one parquet flavor
+    both Spark and pyarrow read back without complaint). Dataset readers
+    union all files, so mixed Spark/pyarrow-written dirs read identically."""
     import time as _time
     import uuid
 
@@ -1565,15 +1572,13 @@ def append_metrics_driver(
     import pyarrow.parquet as pq
 
     os.makedirs(metrics_dir, exist_ok=True)
-    now = np.datetime64(int(_time.time() * 1_000_000), "us").astype(
-        "datetime64[ns]"
-    )
+    now = np.datetime64(int(_time.time() * 1_000_000), "us")
     tbl = pa.table(
         {
             "stage": pa.array([r[0] for r in rows], pa.string()),
             "key": pa.array([r[1] for r in rows], pa.string()),
             "value": pa.array([float(r[2]) for r in rows], pa.float64()),
-            "ts": pa.array(np.full(len(rows), now), pa.timestamp("ns")),
+            "ts": pa.array(np.full(len(rows), now), pa.timestamp("us", tz="UTC")),
         }
     )
     path = os.path.join(metrics_dir, f"part-{uuid.uuid4().hex}.parquet")
@@ -2498,14 +2503,23 @@ def build_index(
                         raise ValueError(
                             "sorted-source fast path: span key ranges overlap"
                         )
-                except Exception:
+                except Exception as e:
                     if strat != "sorted":
                         raise
-                    # the footer precheck was wrong about the data (within-
-                    # span duplicate or cross-span overlap): wipe the partial
-                    # outputs and retry with the conversation-offset table
+                    # ONLY the fast path's own validation failures retry
+                    # (within-span duplicate key, cross-span overlap —
+                    # every such raise carries the 'sorted-source fast
+                    # path' marker). Transient IO / OOM / executor loss
+                    # re-raises instead of masking itself behind a silent
+                    # doubled rebuild (ADVICE r5 #2).
+                    if "sorted-source fast path" not in str(e):
+                        raise
+                    # wipe the partial outputs and retry with the
+                    # conversation-offset table; record the retry as its
+                    # own metric instead of a duplicate 'offsets' row
                     _wipe_dir(filesystem, paths.chunks)
                     _wipe_dir(filesystem, paths.docs)
+                    metrics.append(("offsets", "sorted_retry", 1.0))
                     t0 = time.time()
                     continue
                 fused = True

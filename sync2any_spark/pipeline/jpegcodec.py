@@ -690,6 +690,7 @@ def _decode_lossless(frame, scans) -> np.ndarray:
         dri = scan["dri"]
         default = 1 << (prec - pt - 1)
         reset = True  # start-of-scan → default prediction
+        ra_row = 0  # row whose remainder uses the first-line Ra rule
         mcu = 0  # one MCU = one sample position (1x1 sampling)
         for y in range(h):
             for x in range(w):
@@ -704,8 +705,13 @@ def _decode_lossless(frame, scans) -> np.ndarray:
                     diff = 32768 if s == 16 else _extend(r.bits(s), s)
                     if reset:
                         px = default
-                    elif y == 0:
-                        px = plane[0, x - 1]
+                    elif y == ra_row:
+                        # H.1.2.1: the FIRST LINE of the scan and of every
+                        # restart interval uses the 1-D Ra predictor for
+                        # everything after its default-predicted sample
+                        # (ADVICE r5 #3 — the selected predictor must not
+                        # resume mid-interval-first-line)
+                        px = plane[y, x - 1]
                     elif x == 0:
                         px = plane[y - 1, 0]
                     else:
@@ -727,6 +733,8 @@ def _decode_lossless(frame, scans) -> np.ndarray:
                         else:
                             px = (ra + rb) >> 1
                     plane[y, x] = (int(px) + diff) & 0xFFFF
+                if reset:
+                    ra_row = y
                 reset = False
     missing = {c["id"] for c in comps} - covered
     if missing:
@@ -989,6 +997,7 @@ def encode_jpeg_lossless(
     wtr = _BitWriter()
     default = 1 << (prec - pt - 1)
     reset = True
+    ra_row = 0  # mirror of the decoder's first-line-of-interval Ra rule
     mcu = 0
     rst = 0
     for y in range(h):
@@ -998,11 +1007,13 @@ def encode_jpeg_lossless(
                 rst += 1
                 reset = True
             mcu += 1
+            if reset:
+                ra_row = y
             for plane in samples:
                 if reset:
                     px = default
-                elif y == 0:
-                    px = plane[0, x - 1]
+                elif y == ra_row:
+                    px = plane[y, x - 1]
                 elif x == 0:
                     px = plane[y - 1, 0]
                 else:

@@ -117,27 +117,47 @@ class _ReplicaGroup:
         return self._call("_term_blocks", term)
 
     def _df_of(self, term: str, g) -> int:
-        return self._first_live()._df_of(term, g)
+        # through _call, not _first_live: a replica raising ConnectionError
+        # mid-query must fail over to a live sibling exactly like the data
+        # calls do (ADVICE r5 #4)
+        return self._call("_df_of", term, g)
+
+    def _meta_attr(self, name: str):
+        """Metadata accessor with the SAME failover as data calls: the
+        first live replica is tried first, a ConnectionError moves on to
+        the next copy (ADVICE r5 #4)."""
+        n = len(self.replicas)
+        last: "Exception | None" = None
+        for r in self.replicas:
+            if not getattr(r, "up", True):
+                continue
+            try:
+                return getattr(r, name)
+            except ConnectionError as e:
+                last = e
+        raise ConnectionError(
+            f"all {n} replicas of shard group down"
+        ) from last
 
     @property
     def meta(self):
-        return self._first_live().meta
+        return self._meta_attr("meta")
 
     @property
     def buckets(self):
-        return self._first_live().buckets
+        return self._meta_attr("buckets")
 
     @property
     def deleted(self):
-        return self._first_live().deleted
+        return self._meta_attr("deleted")
 
     @property
     def n_docs(self):
-        return self._first_live().n_docs
+        return self._meta_attr("n_docs")
 
     @property
     def avgdl(self):
-        return self._first_live().avgdl
+        return self._meta_attr("avgdl")
 
 
 class ShardedSearcher:
@@ -686,7 +706,7 @@ class LocalSearcher:
         # queries prune on θ alone (no other-term slack): always try.
         floor = floor_kept / tot_post if tot_post else 1.0
         if not tot_post or (len(pairs) > 1 and floor > 0.05) or floor > _PRUNE_KEEP_MAX:
-            return self._score_pairs_parallel(pairs, k)
+            return self._score_or_fast(pairs, k)
         # seed budget ~2% of the query's postings (floored): enough for a
         # tight θ on big queries, bounded overhead on barely-hot ones
         seed_budget = max(4000, min(_PRUNE_SEED_POSTINGS, tot_post // 50))
@@ -746,13 +766,57 @@ class LocalSearcher:
                 tot += int(nd.sum())
                 survivors.append((w, g[mask]))
             if tot and kept / tot <= _PRUNE_KEEP_MAX:
-                return self._score_pairs_parallel(survivors, k)
-        return self._score_pairs_parallel(pairs, k)
+                return self._score_or_fast(survivors, k)
+        return self._score_or_fast(pairs, k)
 
     def _vectorized_parallel(self, groups, k: int) -> "list[tuple[int, float]]":
         """Exhaustive hot-query leg: every block decodes. Kept callable
         directly as the identity oracle for `_vectorized_pruned`."""
         return self._score_pairs_parallel(self._weighted(groups), k)
+
+    def _single_term_topk(
+        self, w: float, g, k: int
+    ) -> "list[tuple[int, float]] | None":
+        """Single-term scorer that skips the doc-id decode for
+        non-candidates (round 6, mirrors the driver path's
+        ``_single_term_topk_arrow``): scores depend only on (tf, dl), so
+        doc ids decode ONLY for the blocks holding postings at or above
+        the k-th contribution. Valid only with no tombstones; None when
+        boundary ties make the candidate set large (full path cheaper).
+        Rank- and score-identical (shared ``_topk`` tie-break)."""
+        from ..index.codec import decode_block_batch, vb_decode
+
+        if self.deleted.size:
+            return None
+        counts = g["n_docs"].to_numpy().astype(np.int64)
+        tfs = vb_decode(b"".join(g["tfs"]))
+        dls = vb_decode(b"".join(g["dls"]))
+        contrib = bm25_contrib(w, tfs, dls, self.avgdl)
+        n = contrib.size
+        if n == 0:
+            return []
+        kk = min(k, n)
+        tau = np.partition(contrib, n - kk)[n - kk]
+        cand = np.flatnonzero(contrib >= tau)
+        if cand.size > max(4 * k, n // 4):
+            return None
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        blk = np.searchsorted(bounds, cand, side="right") - 1
+        ublk = np.unique(blk)
+        sub = g.iloc[ublk]
+        ids_sub, _tf, _dl = decode_block_batch(
+            sub["doc_ids"], sub["tfs"], sub["dls"], sub["n_docs"].to_numpy()
+        )
+        sub_bounds = np.concatenate(([0], np.cumsum(counts[ublk])))
+        sub_pos = sub_bounds[np.searchsorted(ublk, blk)] + (cand - bounds[blk])
+        return _topk(ids_sub[sub_pos], contrib[cand], k)
+
+    def _score_or_fast(self, pairs, k: int) -> "list[tuple[int, float]]":
+        if len(pairs) == 1:
+            fast = self._single_term_topk(pairs[0][0], pairs[0][1], k)
+            if fast is not None:
+                return fast
+        return self._score_pairs_parallel(pairs, k)
 
     def _score_pairs_parallel(self, pairs, k: int) -> "list[tuple[int, float]]":
         """Slice-parallel scorer over (idf weight, block rows) pairs: each

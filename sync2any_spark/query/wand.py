@@ -514,17 +514,17 @@ class IndexSearcher:
         # work is O(files in those buckets), not O(files in the index) —
         # a light query's fetch is a handful of footer-pruned row groups
         filt = ds.field("term").isin(qterms)
-        parts = []
+        reads = []  # (dataset, filter) pairs, resolved on this thread
         for root in postings_sources(self.index_dir, self.meta):
             if "://" in root:
                 # remote root: one hive dataset over the whole root (the
                 # partition expression prunes buckets; no local listdir)
                 if root not in self._root_datasets:
                     self._root_datasets[root] = ds.dataset(root, partitioning="hive")
-                parts.append(
-                    self._root_datasets[root].to_table(
-                        columns=cols,
-                        filter=ds.field("bucket").isin(buckets) & filt,
+                reads.append(
+                    (
+                        self._root_datasets[root],
+                        ds.field("bucket").isin(buckets) & filt,
                     )
                 )
                 continue
@@ -537,11 +537,20 @@ class IndexSearcher:
                     )
                 d = self._bucket_datasets[key]
                 if d is not None:
-                    parts.append(d.to_table(columns=cols, filter=filt))
-        if not parts:
+                    reads.append((d, filt))
+        if not reads:
             return pa.table({c: [] for c in cols})
-        if len(parts) == 1:
-            return parts[0]
+        if len(reads) == 1:
+            return reads[0][0].to_table(columns=cols, filter=reads[0][1])
+        # fan the per-(root, bucket) pruned reads out on the score pool —
+        # each is an independent footer-pruned C++ read that releases the
+        # GIL, and multi-term/multi-segment fetches were serialized on
+        # this loop (guide §2.6 applied driver-side)
+        futs = [
+            _score_pool().submit(d.to_table, columns=cols, filter=f)
+            for d, f in reads
+        ]
+        parts = [f.result() for f in futs]
         return pa.concat_tables(parts, promote_options="permissive")
 
     def _pruned_blocks_pandas(
@@ -641,6 +650,107 @@ class IndexSearcher:
             ids, contrib = ids[alive], contrib[alive]
         return self._topk_postsums(ids, contrib, single_term, k)
 
+    def _pruned_single_arrow(
+        self, tbl, w: float, k: int
+    ) -> "list[tuple[int, float]] | None":
+        """Block-max pruned leg for SINGLE-term hot queries on the arrow
+        driver path (the serving tier's `_vectorized_pruned` reshaped for
+        the Arrow block table; r5 VERDICT Next #3). Exact: a single-term
+        doc lives in exactly one block, the drift-safe (max_tf, min_dl)
+        bound dominates every score in its block, and θ is the k-th best
+        of REAL seed scores (θ ≤ true k-th best), so every dropped block
+        (ub < θ − ε) holds only docs that cannot enter the top-k; boundary
+        ties survive via the ε slack. Returns None when pruning keeps too
+        much (near-uniform block maxima) — callers fall back to the
+        exhaustive scorer. Multi-term queries stay exhaustive here: on the
+        bench's stop-word pairs the feasibility floor keeps ≈100% of
+        postings (PLANS.md §10), so the seed pass would be pure
+        overhead."""
+        from ..index.codec import decode_block_batch_arrow
+
+        mtf = tbl.column("max_tf").to_numpy().astype(np.float64)
+        mdl = tbl.column("min_dl").to_numpy().astype(np.float64)
+        ub = w * mtf / (mtf + K1 * (1.0 - B + B * mdl / self.avgdl))
+        nd = tbl.column("n_docs").to_numpy().astype(np.int64)
+        tot = int(nd.sum())
+        order = np.argsort(-ub)
+        budget = max(4000, min(50_000, tot // 50))
+        m = int(np.searchsorted(np.cumsum(nd[order]), budget)) + 1
+        seed_idx = np.sort(order[:m])
+        seed = tbl.take(seed_idx)
+        ids, tfs, dls = decode_block_batch_arrow(seed)
+        contrib = bm25_contrib(w, tfs, dls, self.avgdl)
+        if self.deleted.size:
+            alive = _alive_mask(self.deleted, ids)
+            contrib = contrib[alive]
+        if contrib.size < k:
+            return None
+        theta = float(np.partition(contrib, contrib.size - k)[contrib.size - k])
+        if theta <= 0.0:
+            return None
+        keep = ub >= theta - 1e-9
+        if int(nd[keep].sum()) > tot // 2:
+            return None
+        sub = tbl.filter(keep)
+        if self.deleted.size == 0:
+            fast = self._single_term_topk_arrow(sub, w, k)
+            if fast is not None:
+                return fast
+        idsk, tfsk, dlsk = decode_block_batch_arrow(sub)
+        contribk = bm25_contrib(w, tfsk, dlsk, self.avgdl)
+        if self.deleted.size:
+            alivek = _alive_mask(self.deleted, idsk)
+            idsk, contribk = idsk[alivek], contribk[alivek]
+        return self._topk_postsums(idsk, contribk, True, k)
+
+    def _single_term_topk_arrow(
+        self, tbl, w: float, k: int
+    ) -> "list[tuple[int, float]] | None":
+        """Single-term exhaustive scorer that never decodes the doc-id
+        column for non-candidates: scores depend only on (tf, dl), so the
+        k-th contribution threshold is found from two column decodes, and
+        doc ids decode ONLY for the blocks holding candidate postings
+        (ids were ~40% of the single-term decode cost, plus the per-posting
+        weight array disappears — w is a scalar). Valid only with no
+        tombstones (alive filtering needs every id); returns None when
+        boundary ties make the candidate set so large that the full path
+        is cheaper. Rank- and score-identical: candidates are exactly the
+        postings with contribution ≥ the k-th best, and the shared
+        ``topk_sorted`` applies the engine tie-break."""
+        from ..index.codec import (
+            _decode_pool,
+            arrow_binary_bytes,
+            decode_block_batch_arrow,
+            vb_decode,
+        )
+
+        f_tf = _decode_pool().submit(
+            lambda: vb_decode(arrow_binary_bytes(tbl.column("tfs")))
+        )
+        dls = vb_decode(arrow_binary_bytes(tbl.column("dls")))
+        tfs = f_tf.result()
+        contrib = bm25_contrib(w, tfs, dls, self.avgdl)
+        n = contrib.size
+        if n == 0:
+            return []
+        kk = min(k, n)
+        tau = np.partition(contrib, n - kk)[n - kk]
+        cand = np.flatnonzero(contrib >= tau)
+        if cand.size > max(4 * k, n // 4):
+            return None  # massive score ties — full decode is cheaper
+        counts = tbl.column("n_docs").to_numpy().astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        blk = np.searchsorted(bounds, cand, side="right") - 1
+        ublk = np.unique(blk)
+        ids_sub, _tf, _dl = decode_block_batch_arrow(
+            tbl.take(ublk), parallel=False
+        )
+        sub_bounds = np.concatenate(([0], np.cumsum(counts[ublk])))
+        sub_pos = (
+            sub_bounds[np.searchsorted(ublk, blk)] + (cand - bounds[blk])
+        )
+        return self._topk_sorted(ids_sub[sub_pos], contrib[cand], k)
+
     def _vectorized_topk_arrow(
         self, tbl, qterms: "list[str]", dfs: dict[str, int], k: int
     ) -> list[tuple[int, float]]:
@@ -682,6 +792,15 @@ class IndexSearcher:
             return ids, contrib
 
         single = len(qterms) == 1
+        if single and tbl.num_rows >= _PARALLEL_BLOCKS:
+            w1 = idf(self.n_docs, dfs[qterms[0]])
+            pruned = self._pruned_single_arrow(tbl, w1, k)
+            if pruned is not None:
+                return pruned
+            if deleted is None:
+                fast = self._single_term_topk_arrow(tbl, w1, k)
+                if fast is not None:
+                    return fast
         if tbl.num_rows < _PARALLEL_BLOCKS:
             ids, contrib = score_slice(tbl, w_block)
             return self._topk_postsums(ids, contrib, single, k)

@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # MICROS (not the INT96 legacy default): pyarrow reads INT96 back as
+        # nanos, and a task-side pyarrow rewrite of such a column produces
+        # TIMESTAMP(NANOS) parquet that Spark itself refuses to read — the
+        # compact() sorted-temp-corpus path hits exactly that round trip
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # shuffle/spill through RAM-backed storage: local-mode shuffles on
         # the single virtual disk otherwise serialize 32-way writers
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))

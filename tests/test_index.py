@@ -751,3 +751,27 @@ def test_sorted_source_fast_path_identical_and_fallbacks(
     pdf_c = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
     src_c = write_src("shuffled_src", pdf_c)
     assert sorted_span_bases(src_c, plan_spans(src_c, 0)) is None
+
+
+def test_driver_single_term_fast_paths_identity(spark, index_dir, monkeypatch):
+    """Round 6: the driver arrow path's single-term fast legs — the
+    block-max pruned leg and the no-doc-ids candidate scorer — must be
+    rank- AND score-identical to the exhaustive arrow scorer on every
+    reference query (the legs engage only above _PARALLEL_BLOCKS in
+    production; forcing the threshold to 0 exercises them on the test
+    index, and a huge threshold disables them for the baseline)."""
+    import sync2any_spark.query.wand as wand
+
+    queries = pq.read_table(ensure_queries()).to_pandas()
+    searcher = IndexSearcher(spark, index_dir)
+    baseline = {}
+    monkeypatch.setattr(wand, "_PARALLEL_BLOCKS", 10**9)
+    for q in queries.itertuples(index=False):
+        baseline[int(q.query_id)] = searcher.search(q.query_text, int(q.k))
+    monkeypatch.setattr(wand, "_PARALLEL_BLOCKS", 0)
+    for q in queries.itertuples(index=False):
+        got = searcher.search(q.query_text, int(q.k))
+        want = baseline[int(q.query_id)]
+        assert [g[0] for g in got] == [w[0] for w in want], q.query_text
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q.query_text
