@@ -67,14 +67,20 @@ from .codec import encode_doc_ids, encode_tfs
 # of the bucket count (a term always lands in exactly one (bucket, sub))
 MERGE_SUBSPLIT = 8
 
-# Spark partitions per core for the span/file work lists (SPIMI + fused
-# pass): several work units share one task, amortizing the per-task
-# scheduling + Python-runner round trip (measured 13-150 ms per task under
-# core pinning — with one span per task it rivaled the kernel itself).
-# Units within a task are processed one at a time, so the cache-resident
-# kernel working set is unchanged; the work lists are uniform, so the
-# coarser tail stays balanced. Scale-adaptive (× cores), env-overridable.
-TASK_PACK = int(os.environ.get("SPARK_GRAFT_TASK_PACK", "4"))
+# Work units (spans / files / merge groups) per Spark task: several units
+# share one task, amortizing the per-task scheduling + Python-runner round
+# trip (measured 13-150 ms per task under core pinning — with one span per
+# task it rivaled the kernel itself). Units within a task are processed one
+# at a time, so the cache-resident kernel working set is unchanged; the
+# work lists are uniform, so the coarser tail stays balanced. A PURE
+# function of the work-list size — never of the executor count — so the
+# same input yields the identical job at every parallelism level (the
+# N-vs-4N methodology's invariant). Env-overridable.
+TASK_PACK = int(os.environ.get("SPARK_GRAFT_TASK_PACK", "3"))
+
+
+def _packed_partitions(n_units: int) -> int:
+    return max(1, -(-n_units // TASK_PACK))
 
 # a merge group whose heavy terms sum past this many postings fans out into
 # doc-disjoint salt tasks (≤ n_salts) — ~2M postings ≈ a comfortable
@@ -1100,11 +1106,7 @@ def build_chunks_files(
                 sub["part_id"] = r.part_id
                 yield inner(sub)
 
-    n_parts = max(
-        1,
-        min(len(todo), TASK_PACK * spark.sparkContext.defaultParallelism),
-    )
-    rdd = spark.sparkContext.parallelize(todo, n_parts)
+    rdd = spark.sparkContext.parallelize(todo, _packed_partitions(len(todo)))
     flist = spark.createDataFrame(rdd, "part_id int, path string")
     return flist.mapInPandas(kern, schema=MANIFEST_SCHEMA)
 
@@ -1436,11 +1438,7 @@ def build_segments(
                     n_salts=n_salts, span_keys=span_keys,
                 )
 
-    n_parts = max(
-        1,
-        min(len(todo), TASK_PACK * spark.sparkContext.defaultParallelism),
-    )
-    rdd = spark.sparkContext.parallelize(todo, n_parts)
+    rdd = spark.sparkContext.parallelize(todo, _packed_partitions(len(todo)))
     flist = spark.createDataFrame(
         rdd, "part_id int, path string, lo int, hi int, base long"
     )
@@ -2260,8 +2258,7 @@ def build_postings_direct(
     # group (measured 240 s vs 4 s). TASK_PACK groups per partition
     # amortize the per-task floor; contiguous grouping keeps bucket
     # locality for the worker-global reader cache.
-    n_task_parts = max(1, min(len(tasks), TASK_PACK * par))
-    rdd = spark.sparkContext.parallelize(tasks, n_task_parts)
+    rdd = spark.sparkContext.parallelize(tasks, _packed_partitions(len(tasks)))
     task_df = spark.createDataFrame(rdd, "bucket int, sub int, salt int, k int")
     manifest = task_df.mapInPandas(
         merge_tasks,
