@@ -82,6 +82,28 @@ def sf1_cdc(index_dir: str) -> None:
     mult = int(os.environ.get("SPARK_GRAFT_VALIDATE_MULT", "80"))
     src = ensure_transcripts("sf0.1", mult)
     spark = get_spark("bench_extra_sf1", cpus=32, shuffle_partitions=96)
+    # JIT/worker warmup (same methodology as the frozen bench's
+    # incremental phase — a cold JVM's first pandas-UDF wave would
+    # otherwise dominate the measured apply)
+    from sync2any_spark.index.builder import build_index
+
+    warm_src = ensure_transcripts("sf0.001", 1)
+    warm_idx = "/dev/shm/bench-extra-warm"
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    build_index(
+        spark, spark.read.parquet(warm_src), warm_idx, n_partitions=8,
+        n_buckets=4, resume=False, source_path=warm_src, span_mb=4,
+    )
+    wb = pq.read_table(warm_src).slice(0, 1000).to_pandas()
+    wb["op"] = "U"
+    wb["text"] = wb["text"] + " warm"
+    apply_increments(
+        spark, warm_idx,
+        spark.createDataFrame(
+            wb[["conv_id", "turn_idx", "op", "role", "text", "tool", "ts"]]
+        ),
+    )
+    shutil.rmtree(warm_idx, ignore_errors=True)
     files = sorted(
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
     ) if os.path.isdir(src) else [src]
