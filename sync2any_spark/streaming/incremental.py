@@ -1017,6 +1017,313 @@ def maybe_compact(
     return out
 
 
+# The live-splice temp-corpus path holds every delta doc row and tombstone
+# id on the driver for its planning pre-pass; past this row budget compact
+# falls back to the distributed range-shuffle path (large backfills /
+# delta-heavy indexes keep the scale-safe plan).
+COMPACT_SPLICE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_COMPACT_SPLICE_ROWS", "2000000")
+)
+
+_CORPUS_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# diagnostics: why the last _splice_live_sorted call declined (None = engaged)
+_LAST_SPLICE_DECLINE: "str | None" = None
+
+
+def _splice_live_sorted(
+    spark: SparkSession, index_dir: str, meta: dict, tmp: str
+) -> bool:
+    """Write the conv-sorted live temp corpus with ZERO shuffle: the base
+    docs store is already (conv_id, turn_idx)-sorted on disk (doc ids were
+    assigned in key order), deletes are an id set, and delta segments are
+    small — so compaction is an LSM merge of sorted runs, not a re-sort.
+    One task per base file reads its span, drops tombstoned rows, splices
+    in the (driver-pre-sorted) delta rows of its key interval, and writes
+    the merged span; lexical output order preserves the global key order,
+    so the fused build's sorted-source fast path consumes it unchanged
+    (and its boundary verifier still audits the result downstream).
+
+    Returns False when preconditions fail — no base store, footer stats
+    missing or out of order, delta/tombstone rows past the driver budget,
+    or the row-conservation check after the merge — in which case the
+    caller falls back to the distributed range-shuffle path.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    global _LAST_SPLICE_DECLINE
+    _LAST_SPLICE_DECLINE = None
+
+    paths = IndexPaths(index_dir)
+    base_files = sorted(_glob.glob(os.path.join(paths.docs, "*.parquet")))
+    if not base_files:
+        _LAST_SPLICE_DECLINE = "no base docs files"
+        return False
+    seg_dirs = [d for d in docs_sources(index_dir, meta) if d != paths.docs]
+    del_dirs = deletes_sources(index_dir, meta)
+    try:
+        n_delta_raw = (
+            sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for d in seg_dirs
+                for f in _glob.glob(os.path.join(d, "*.parquet"))
+            )
+            if seg_dirs
+            else 0
+        )
+        n_dead_raw = (
+            sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for d in del_dirs
+                for f in _glob.glob(os.path.join(d, "*.parquet"))
+            )
+            if del_dirs
+            else 0
+        )
+        if n_delta_raw + n_dead_raw > COMPACT_SPLICE_ROWS:
+            _LAST_SPLICE_DECLINE = "delta+dead rows over budget"
+            return False
+
+        # Footer walk: file-granular conv ordering (equality allowed — a
+        # conversation may straddle files) + the exact (conv, turn) key of
+        # each file's first row, which is the span boundary the delta
+        # placement searches. Any absent stat → decline.
+        firsts: "list[tuple[str, int]]" = []
+        n_base = 0
+        prev_max: "str | None" = None
+        kept_files: "list[str]" = []
+        for f in base_files:
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            if md.num_rows == 0:
+                continue
+            idx = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.num_columns)
+            }
+            if "conv_id" not in idx or "doc_id" not in idx:
+                _LAST_SPLICE_DECLINE = "missing columns in base footer"
+                return False
+            st_lo = md.row_group(0).column(idx["conv_id"]).statistics
+            st_hi = md.row_group(md.num_row_groups - 1).column(
+                idx["conv_id"]
+            ).statistics
+            if (
+                st_lo is None
+                or st_hi is None
+                or not st_lo.has_min_max
+                or not st_hi.has_min_max
+            ):
+                _LAST_SPLICE_DECLINE = f"absent conv stats in {f}"
+                return False
+            if prev_max is not None and st_lo.min < prev_max:
+                _LAST_SPLICE_DECLINE = f"file conv order violated at {f}"
+                return False
+            prev_max = st_hi.max if prev_max is None else max(prev_max, st_hi.max)
+            head = pf.read_row_group(0, columns=["conv_id", "turn_idx"])
+            firsts.append((head.column(0)[0].as_py(), int(head.column(1)[0].as_py())))
+            n_base += md.num_rows
+            kept_files.append(f)
+        if not kept_files:
+            _LAST_SPLICE_DECLINE = "all base files empty"
+            return False
+        if any(firsts[i] >= firsts[i + 1] for i in range(len(firsts) - 1)):
+            _LAST_SPLICE_DECLINE = "first-row keys not increasing"
+            return False
+
+        # Tombstone ids: one sorted driver array (the delete-bitmap analog;
+        # budget-gated above).
+        del_files = [
+            f for d in del_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        dead = (
+            np.unique(
+                pds.dataset(del_files)
+                .to_table(columns=["doc_id"])
+                .column("doc_id")
+                .to_numpy()
+            )
+            if del_files
+            else np.empty(0, dtype=np.int64)
+        )
+
+        # Delta pre-pass (driver): concat the committed delta segments, drop
+        # tombstoned rows, sort by key, write ONE small-row-group file the
+        # merge tasks range-prune. This is the only place delta text is
+        # held in memory — bounded by COMPACT_SPLICE_ROWS.
+        delta_path = ""
+        n_delta_live = 0
+        seg_files = [
+            f for d in seg_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        if seg_files and n_delta_raw:
+            dt = pds.dataset(seg_files).to_table(columns=["doc_id"] + _CORPUS_COLS)
+            if dead.size:
+                ids = dt.column("doc_id").to_numpy()
+                pos = np.searchsorted(dead, ids)
+                in_rng = pos < dead.size
+                pos[~in_rng] = 0
+                dt = dt.filter(pa.array(~(in_rng & (dead[pos] == ids))))
+            dt = dt.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            dt = dt.select(_CORPUS_COLS)
+            # match the base store's physical schema exactly (tz-aware vs
+            # naive timestamps differ by writer lineage; the UTC-pinned
+            # session makes the int64 micros identical, so this cast only
+            # relabels the type so concat/stats line up)
+            base_schema = pq.ParquetFile(kept_files[0]).schema_arrow
+            dt = dt.cast(
+                pa.schema([base_schema.field(c) for c in _CORPUS_COLS])
+            )
+            n_delta_live = dt.num_rows
+            if n_delta_live:
+                os.makedirs(tmp, exist_ok=True)
+                delta_path = os.path.join(tmp, "_delta_sorted.parquet")
+                pq.write_table(
+                    dt, delta_path, compression="zstd", row_group_size=2048
+                )
+        expected_live = n_base + n_delta_raw - int(dead.size)
+        if expected_live <= 0:
+            _LAST_SPLICE_DECLINE = "no live rows"
+            return False
+    except Exception as e:  # precondition probing over arbitrary layouts —
+        # decline to the shuffle path, but keep the reason inspectable
+        _LAST_SPLICE_DECLINE = repr(e)
+        if os.environ.get("SPARK_GRAFT_DEBUG"):
+            import traceback
+
+            traceback.print_exc()
+        return False
+
+    os.makedirs(tmp, exist_ok=True)
+    from ..index.builder import _packed_partitions
+
+    work = [
+        (
+            i,
+            kept_files[i],
+            firsts[i + 1][0] if i + 1 < len(firsts) else None,
+            firsts[i + 1][1] if i + 1 < len(firsts) else None,
+        )
+        for i in range(len(kept_files))
+    ]
+    dead_bc = spark.sparkContext.broadcast(dead)
+    out_cols = list(_CORPUS_COLS)
+
+    def kern(pdfs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in pdfs:
+            for span, path, hi_conv, hi_turn in zip(
+                pdf["span"], pdf["path"], pdf["hi_conv"], pdf["hi_turn"]
+            ):
+                span = int(span)
+                base = pq.read_table(path, columns=["doc_id"] + out_cols)
+                dd = dead_bc.value
+                if dd.size:
+                    ids = base.column("doc_id").to_numpy()
+                    pos = np.searchsorted(dd, ids)
+                    in_rng = pos < dd.size
+                    pos[~in_rng] = 0
+                    base = base.filter(pa.array(~(in_rng & (dd[pos] == ids))))
+                base = base.select(out_cols)
+                parts = [base]
+                if delta_path:
+                    # this span owns delta keys in [first_key(span),
+                    # first_key(span+1)); span 0 also takes anything before
+                    # the base corpus, the last span anything after it
+                    lo = None if span == 0 else firsts[span]
+                    hi = (
+                        None
+                        if hi_conv is None or (isinstance(hi_conv, float))
+                        else (str(hi_conv), int(hi_turn))
+                    )
+                    dpf = pq.ParquetFile(delta_path)
+                    md = dpf.metadata
+                    cidx = {
+                        md.row_group(0).column(j).path_in_schema: j
+                        for j in range(md.num_columns)
+                    }["conv_id"]
+                    rgs = []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(cidx).statistics
+                        if st is None or not st.has_min_max:
+                            rgs.append(g)
+                            continue
+                        if lo is not None and st.max < lo[0]:
+                            continue
+                        if hi is not None and st.min > hi[0]:
+                            continue
+                        rgs.append(g)
+                    if rgs:
+                        dl = dpf.read_row_groups(rgs, columns=out_cols)
+                        cv = np.asarray(dl.column("conv_id").to_pylist(), dtype=object)
+                        tn = dl.column("turn_idx").to_numpy()
+                        mask = np.ones(len(cv), dtype=bool)
+                        if lo is not None:
+                            mask &= (cv > lo[0]) | ((cv == lo[0]) & (tn >= lo[1]))
+                        if hi is not None:
+                            mask &= (cv < hi[0]) | ((cv == hi[0]) & (tn < hi[1]))
+                        if mask.any():
+                            parts.append(dl.filter(pa.array(mask)).select(out_cols))
+                tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+                if len(parts) > 1:
+                    # keys are unique across live rows (updates tombstone
+                    # the old version), so sort order is total
+                    tbl = tbl.sort_by(
+                        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+                    )
+                if tbl.num_rows:
+                    out_f = os.path.join(tmp, f"part-{span:05d}.parquet")
+                    tmp_f = out_f + f".tmp-{os.getpid()}"
+                    pq.write_table(
+                        tbl, tmp_f, compression="snappy", row_group_size=2048
+                    )
+                    os.replace(tmp_f, out_f)
+                yield pd.DataFrame({"span": [span], "rows": [tbl.num_rows]})
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(work, _packed_partitions(len(work)))
+    flist = spark.createDataFrame(
+        rdd, "span long, path string, hi_conv string, hi_turn int"
+    )
+    import shutil
+
+    sc.setJobDescription("compact: live-splice temp corpus (zero-shuffle)")
+    try:
+        got = flist.mapInPandas(kern, "span long, rows long").toPandas()
+    except Exception as e:
+        _LAST_SPLICE_DECLINE = repr(e)
+        if os.environ.get("SPARK_GRAFT_DEBUG"):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    finally:
+        sc.setJobDescription(None)
+        dead_bc.unpersist()
+    # a task killed mid-write leaves a .tmp-<pid> file its retry does not
+    # remove (the retry replaces under its own pid) — sweep them so the
+    # downstream corpus read sees only committed spans
+    for stale in _glob.glob(os.path.join(tmp, "*.tmp-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    written = int(got["rows"].sum())
+    if written != expected_live:
+        # row conservation failed — wipe and let the shuffle path recompute
+        _LAST_SPLICE_DECLINE = f"row conservation {written} != {expected_live}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    if delta_path:
+        os.remove(delta_path)
+    return True
+
+
 def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     """Force-merge analog: rebuild the index from the live corpus. Purges
     tombstones, re-densifies doc ids, restores exact block-max bounds.
@@ -1034,9 +1341,6 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
 
     meta = read_index_meta(index_dir)
     t0 = time.time()
-    live = live_docs(spark, index_dir).select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts"
-    )
     par = spark.sparkContext.defaultParallelism
     # temp-corpus partition count from the LIVE DOC COUNT (scale-adaptive,
     # guide §2): ~6k-doc files keep each fused task's tokenize/encode
@@ -1050,15 +1354,21 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     tmp = os.path.join(out_dir, "_live_src")
-    (
-        live.repartitionByRange(n_parts, "conv_id")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        # small row groups → span planner can cut cache-resident fused tasks
-        .option("parquet.block.size", str(4 * 1024 * 1024))
-        .parquet(tmp)
-    )
+    # Zero-shuffle LSM splice of the sorted base + small deltas when the
+    # preconditions hold; distributed range shuffle otherwise (large
+    # backfills, missing footer stats, budget overruns).
+    spliced = _splice_live_sorted(spark, index_dir, meta, tmp)
+    if not spliced:
+        live = live_docs(spark, index_dir).select(*_CORPUS_COLS)
+        (
+            live.repartitionByRange(n_parts, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            # small row groups → span planner cuts cache-resident fused tasks
+            .option("parquet.block.size", str(4 * 1024 * 1024))
+            .parquet(tmp)
+        )
     sort_wall = time.time() - t0
     out = build_index(
         spark,
@@ -1077,7 +1387,9 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     from ..index.builder import append_metrics_driver
 
     append_metrics_driver(
-        os.path.join(out_dir, "metrics"), [("live_sort", "wall_s", sort_wall)]
+        os.path.join(out_dir, "metrics"),
+        [("live_splice" if spliced else "live_sort", "wall_s", sort_wall)],
     )
     out["wall_s"] = time.time() - t0
+    out["live_spliced"] = bool(spliced)
     return out

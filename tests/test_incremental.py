@@ -427,3 +427,95 @@ def test_increments_on_force_merged_base(
         got = [(key_new[x], s) for x, s in c.search(q, 10)]
         want = [(key_old[x], s) for x, s in a.search(q, 10)]
         assert [g[0] for g in got] == [w[0] for w in want], q
+
+
+def test_compact_splice_equals_shuffle_path(
+    spark, base, increments, applied, tmp_path_factory, monkeypatch
+):
+    """Round 6: the zero-shuffle LSM splice temp-corpus path must produce an
+    index identical to the distributed range-shuffle path — same dense doc
+    ids (both key-sorted totals), same docs store, terms, and search results
+    including score ties — with delta keys landing before the first and
+    after the last base key, mid-span updates, and tombstones in play."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import sync2any_spark.streaming.incremental as inc_mod
+    from sync2any_spark.generator import ensure_transcripts
+
+    # the splice needs the production store shape — a FUSED-built docs store
+    # (lexical file order == key order, which the two-pass Spark write does
+    # not guarantee; the `base` fixture's tiny corpus takes the two-pass
+    # path and the splice rightly declines there — asserted at the end)
+    src = os.path.join(str(tmp_path_factory.mktemp("splice_src")), "corpus.parquet")
+    pq.write_table(pq.read_table(ensure_transcripts("sf0.001")), src, row_group_size=128)
+    base2 = str(tmp_path_factory.mktemp("idx_splice_base"))
+    build_index(
+        spark, spark.read.parquet(src), base2,
+        resume=False, source_path=src, span_mb=0, **PARAMS,
+    )
+
+    # boundary inserts: keys sorting before the first and after the last
+    # base conversation (the span-interval clamps on both ends)
+    ts = datetime.datetime(2026, 6, 2)
+    edge = spark.createDataFrame(
+        [
+            ("aaaa_conv0", 0, "user", "edgeterm before everything", "", ts, "I"),
+            ("zzzz_conv9", 0, "user", "edgeterm after everything ok", "", ts, "I"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string",
+    )
+    apply_increments(spark, base2, increments)
+    apply_increments(spark, base2, edge)
+
+    out_splice = str(tmp_path_factory.mktemp("idx_c_splice"))
+    r1 = compact(spark, base2, out_splice)
+    assert r1["live_spliced"] is True, inc_mod._LAST_SPLICE_DECLINE
+
+    # the two-pass-built `base` fixture store (Spark-written files, no
+    # global lexical order guarantee) must decline to the shuffle path
+    r0 = compact(spark, base, str(tmp_path_factory.mktemp("idx_c_twopass")))
+    assert r0["live_spliced"] is False
+
+    out_shuffle = str(tmp_path_factory.mktemp("idx_c_shuffle"))
+    monkeypatch.setattr(inc_mod, "COMPACT_SPLICE_ROWS", 0)
+    r2 = compact(spark, base2, out_shuffle)
+    assert r2["live_spliced"] is False
+
+    def docs_pdf(d):
+        pdf = (
+            spark.read.parquet(d + "/docs")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # writer lineage may differ in tz-awareness; compare instants
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        return pdf
+
+    a, b = docs_pdf(out_splice), docs_pdf(out_shuffle)
+    cols = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl"]
+    assert len(a) == len(b)
+    assert a[cols].equals(b[cols])
+
+    ta = (
+        spark.read.parquet(out_splice + "/terms")
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    tb = (
+        spark.read.parquet(out_shuffle + "/terms")
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert ta[["term", "df", "cf"]].equals(tb[["term", "df", "cf"]])
+
+    sa, sb = IndexSearcher(spark, out_splice), IndexSearcher(spark, out_shuffle)
+    for q in QUERIES + ["edgeterm"]:
+        assert sa.search(q, 10) == sb.search(q, 10), q
+    assert sa.search("edgeterm", 10)  # the boundary inserts are queryable
