@@ -1370,11 +1370,20 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
             .parquet(tmp)
         )
     sort_wall = time.time() - t0
+    # Partitioning for the rebuild: the spliced temp mirrors the BASE store's
+    # file geometry (one merged span per base file), so the fresh-build
+    # partition count from meta keeps span planning at the proven fresh-build
+    # granularity — passing the ~6k-doc-derived n_parts here would push
+    # `len(spans) < n_partitions` at large corpora and trigger the
+    # row-group-finest re-plan (measured at sf1: 9,378 micro-spans/chunks,
+    # compact 509 s vs ~100 s fresh-build-shaped). The shuffle temp is
+    # WRITTEN with n_parts files, so its span count already matches n_parts.
+    build_parts = int(meta["n_partitions"]) if spliced else n_parts
     out = build_index(
         spark,
         spark.read.parquet(tmp),
         out_dir,
-        n_partitions=n_parts,
+        n_partitions=build_parts,
         n_buckets=meta["n_buckets"],
         n_salts=meta["n_salts"],
         heavy_df_threshold=meta["heavy_df_threshold"],
