@@ -345,6 +345,8 @@ def apply_increments(
     shape = increments.agg(
         F.count("*").alias("n"),
         F.countDistinct("conv_id", "turn_idx").alias("k"),
+        F.min("conv_id").alias("key_lo"),
+        F.max("conv_id").alias("key_hi"),
     ).first()
     n_batch, n_keys = int(shape.n), int(shape.k)
     if n_batch != n_keys:
@@ -364,6 +366,14 @@ def apply_increments(
         F.col("tool").alias("cur_tool"), F.col("ts").alias("cur_ts"),
         F.col("dl").alias("cur_dl"),
     )
+    # zone-map pruning of the ONE full-store scan (guide §6): every join
+    # match has conv_id inside the batch's key range, so this BETWEEN is
+    # implied by the inner join — it changes nothing semantically but
+    # pushes to the parquet scan, where the conv-sorted store's row-group
+    # min/max stats skip everything outside the range. Clustered batches
+    # (binlog order tracks key ranges in time-ordered tables) scan a few
+    # %% of the store; a uniform batch spans the range and prunes nothing.
+    live = live.where(F.col("conv_id").between(shape.key_lo, shape.key_hi))
     # broadcast-inner: the live store streams past the batch's hashed keys
     # (BroadcastHashJoin — no shuffle, no sort of the corpus), leaving a
     # batch-sized matched relation; the left join against it is
